@@ -1,0 +1,165 @@
+"""Poisson solvers and pressure projection: Neumann (DCT) and periodic (FFT).
+
+Same contracts and tolerances as the reference's tests/test_poisson.py,
+plus DCT-vs-scipy transform identity and the variable-density CG path.
+"""
+import numpy as np
+
+from pyrmt_tpu.grid import create_grid
+from pyrmt_tpu.ops.poisson import (
+    apply_variable_poisson,
+    compute_divergence,
+    compute_divergence_periodic,
+    compute_pressure_gradient_periodic,
+    dct1_2d,
+    idct1_2d,
+    precompute_poisson_eigenvalues,
+    precompute_poisson_eigenvalues_periodic,
+    solve_poisson_dct,
+    solve_variable_poisson_cg,
+)
+from pyrmt_tpu.ops.projection import pressure_projection
+
+
+def _mk(N):
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    return np.asarray(X), np.asarray(Y), dx, dy
+
+
+def test_dct1_matches_scipy():
+    from scipy.fft import dctn, idctn
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((17, 33))
+    assert np.allclose(np.asarray(dct1_2d(x)), dctn(x, type=1), atol=1e-10)
+    assert np.allclose(np.asarray(idct1_2d(x)), idctn(x, type=1), atol=1e-12)
+
+
+def test_dct_recovers_manufactured_neumann():
+    """DCT solve of lap(p)=rhs recovers p (up to a constant) for a field with
+    zero normal derivative on the walls."""
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    p_true = np.cos(np.pi * X) * np.cos(np.pi * Y)
+    lap = -2.0 * np.pi**2 * p_true
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    p = np.asarray(solve_poisson_dct(lap, eig))
+    p = p - p.mean()
+    pt = p_true - p_true.mean()
+    assert np.max(np.abs(p - pt)) < 5e-3
+
+
+def test_fft_periodic_roundtrip_machine_precision():
+    """solve(div(grad(p))) == p for the periodic operators (exact)."""
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    from pyrmt_tpu.ops.poisson import solve_poisson_fft
+
+    k = 2 * np.pi
+    p_true = np.cos(k * X) * np.sin(k * Y) + 0.5 * np.sin(2 * k * X)
+    gx, gy = compute_pressure_gradient_periodic(p_true, dx, dy)
+    lap = compute_divergence_periodic(np.asarray(gx), np.asarray(gy), dx, dy)
+    eig = precompute_poisson_eigenvalues_periodic(N, N, dx, dy)
+    p = np.asarray(solve_poisson_fft(np.asarray(lap), eig))
+    pt = p_true - p_true.mean()
+    assert np.max(np.abs((p - pt)[:-1, :-1])) < 1e-10
+
+
+def _wall_bc(u, v):
+    u = u.at[:, 0].set(0.0).at[:, -1].set(0.0).at[0, :].set(0.0).at[-1, :].set(0.0)
+    v = v.at[:, 0].set(0.0).at[:, -1].set(0.0).at[0, :].set(0.0).at[-1, :].set(0.0)
+    return u, v
+
+
+def test_neumann_projection_reduces_divergence():
+    import jax.numpy as jnp
+
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    a = jnp.asarray(np.sin(np.pi * X) * np.cos(np.pi * Y))
+    b = jnp.asarray(0.5 * np.cos(np.pi * X) * np.sin(np.pi * Y))
+    a, b = _wall_bc(a, b)
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    d0 = np.abs(np.asarray(compute_divergence(a, b, dx, dy))[2:-2, 2:-2]).max()
+    an, bn, p = pressure_projection(
+        a, b, dx, dy, 1e-2, 1.0, _wall_bc, p_prev=None, eigenvalues=eig,
+        bc_type="neumann")
+    d1 = np.abs(np.asarray(compute_divergence(an, bn, dx, dy))[2:-2, 2:-2]).max()
+    assert d1 < d0 / 50.0
+
+
+def _periodic_bc(u, v):
+    u = u.at[:, -1].set(u[:, 0]).at[-1, :].set(u[0, :])
+    v = v.at[:, -1].set(v[:, 0]).at[-1, :].set(v[0, :])
+    return u, v
+
+
+def test_periodic_projection_makes_divergence_free():
+    import jax.numpy as jnp
+
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    k = 2 * np.pi
+    a = jnp.asarray(np.sin(k * X) * np.cos(k * Y) + 0.3 * np.cos(k * X))
+    b = jnp.asarray(-np.cos(k * X) * np.sin(k * Y) + 0.2 * np.sin(k * Y))
+    a, b = _periodic_bc(a, b)
+    eig = precompute_poisson_eigenvalues_periodic(N, N, dx, dy)
+    an, bn, p = pressure_projection(
+        a, b, dx, dy, 1e-2, 1.0, _periodic_bc, p_prev=None, eigenvalues=eig,
+        bc_type="periodic")
+    d1 = np.abs(
+        np.asarray(compute_divergence_periodic(an, bn, dx, dy))[:-1, :-1]
+    ).max()
+    assert d1 < 1e-9
+
+
+def test_variable_poisson_operator_consistent_with_constant():
+    """With rho == 1 the variable operator must equal the ghost-mirror
+    Laplacian the DCT eigenvalues diagonalise."""
+    N = 33
+    X, Y, dx, dy = _mk(N)
+    rng = np.random.default_rng(1)
+    p = rng.standard_normal((N, N))
+    inv_rho = np.ones((N, N))
+    Ap = np.asarray(apply_variable_poisson(p, inv_rho, dx, dy))
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    # DCT of Ap must equal eig * DCT(p) except at the pinned (0,0) mode
+    lhs = np.asarray(dct1_2d(Ap))
+    rhs = np.asarray(eig) * np.asarray(dct1_2d(p))
+    assert np.allclose(lhs.ravel()[1:], rhs.ravel()[1:], atol=1e-8)
+
+
+def test_variable_density_cg_solves_manufactured():
+    """CG with DCT preconditioner solves grad.((1/rho) grad p) = f for a
+    smooth variable rho to the requested tolerance."""
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    rho = 1.0 + 0.8 * np.exp(-((X - 0.5) ** 2 + (Y - 0.5) ** 2) / 0.05)
+    inv_rho = 1.0 / rho
+    p_true = np.cos(np.pi * X) * np.cos(np.pi * Y)
+    p_true -= p_true.mean()
+    rhs = np.asarray(apply_variable_poisson(p_true, inv_rho, dx, dy))
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    p = np.asarray(
+        solve_variable_poisson_cg(rhs, inv_rho, eig, dx, dy, tol=1e-10, maxiter=400)
+    )
+    p = p - p.mean()
+    assert np.max(np.abs(p - p_true)) < 1e-6
+
+
+def test_variable_density_projection_reduces_divergence():
+    import jax.numpy as jnp
+
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    a = jnp.asarray(np.sin(np.pi * X) * np.cos(np.pi * Y))
+    b = jnp.asarray(0.5 * np.cos(np.pi * X) * np.sin(np.pi * Y))
+    a, b = _wall_bc(a, b)
+    rho = jnp.asarray(1.0 + 0.5 * np.exp(-((X - 0.5) ** 2 + (Y - 0.5) ** 2) / 0.02))
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    d0 = np.abs(np.asarray(compute_divergence(a, b, dx, dy))[2:-2, 2:-2]).max()
+    an, bn, p = pressure_projection(
+        a, b, dx, dy, 1e-2, rho, _wall_bc, p_prev=None, eigenvalues=eig,
+        bc_type="neumann", variable_rho=True)
+    d1 = np.abs(np.asarray(compute_divergence(an, bn, dx, dy))[2:-2, 2:-2]).max()
+    assert d1 < d0 / 50.0
