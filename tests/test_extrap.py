@@ -1,0 +1,64 @@
+"""Reference-map extrapolation: linear exactness + band growth.
+
+Mirrors tests/test_interp_extrap_energy.py:33-48 in the reference and adds
+band-coverage/idempotence checks for the layer-synchronous TPU formulation.
+"""
+import numpy as np
+
+from pyrmt_tpu.grid import create_grid
+from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+
+
+def test_extrapolation_exact_on_linear_reference_map():
+    """A linear reference map is extrapolated exactly into the band."""
+    N = 65
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    X, Y = np.asarray(X), np.asarray(Y)
+    phi = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.25
+    solid = (phi < 0).astype(float)
+    X1 = (1.3 * X + 0.2 * Y) * solid
+    X2 = (-0.4 * X + 0.9 * Y) * solid
+    X1e, X2e = extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers=3)
+    X1e, X2e = np.asarray(X1e), np.asarray(X2e)
+    band = (phi >= 0) & (phi < 3 * dx)
+    err1 = np.abs(X1e[band] - (1.3 * X[band] + 0.2 * Y[band]))
+    err2 = np.abs(X2e[band] - (-0.4 * X[band] + 0.9 * Y[band]))
+    assert err1.max() < 1e-8
+    assert err2.max() < 1e-8
+
+
+def test_extrapolation_preserves_solid_values():
+    """Solid cells (phi < 0) must be returned untouched."""
+    N = 49
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    X, Y = np.asarray(X), np.asarray(Y)
+    phi = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.22
+    solid = (phi < 0).astype(float)
+    X1 = np.sin(3 * X) * Y * solid
+    X2 = np.cos(2 * Y) * X * solid
+    X1e, X2e = extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers=3)
+    X1e, X2e = np.asarray(X1e), np.asarray(X2e)
+    s = phi < 0
+    assert np.array_equal(X1e[s], X1[s])
+    assert np.array_equal(X2e[s], X2[s])
+
+
+def test_extrapolation_band_growth_per_layer():
+    """Each sweep grows the known region by exactly one cell layer
+    (Chebyshev distance), so max_layers layers cover the blend band."""
+    N = 65
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    X, Y = np.asarray(X), np.asarray(Y)
+    phi = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.25
+    solid = (phi < 0).astype(float)
+    X1 = (2.0 * X) * solid
+    X2 = (3.0 * Y) * solid
+    for L in (1, 2, 3):
+        X1e, _ = extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers=L)
+        X1e = np.asarray(X1e)
+        inner_band = (phi >= 0) & (phi < (L - 0.5) * dx)
+        # all cells well inside L layers got a value (not the zeroed fluid)
+        assert np.all(np.abs(X1e[inner_band]) > 1e-12)
+        # cells clearly beyond the band are untouched (still zero)
+        far = phi > (L + 2.5) * dx
+        assert np.allclose(X1e[far], 0.0)
