@@ -1,0 +1,224 @@
+"""Momentum step (one-fluid blended RK4), adaptive timestep, blended RHS.
+
+Capability parity with pyRMT/functions.py:165-192 (compute_timestep),
+:594-683 (momentum_step_rk4), :686-755 (momentum_step_rk4_2solids) and
+:818-865 (velocity_rhs_blended_optimized).
+
+TPU-first re-design: ONE generic n-solid momentum step. Solids are stacked on
+a leading axis (S, Ny, Nx) and the per-solid pieces (stress, Heaviside,
+Kelvin-Voigt, CSF) are ``vmap``-ed; the n-fluid mixture (Jain 2019 Eq. 29)
+
+    sigma = (sum_i H_i - (S-1)) sigma_f + sum_i (1 - H_i) sigma_s_i
+    rho   = (sum_i H_i - (S-1)) rho_f   + sum_i (1 - H_i) rho_s
+
+reduces to the reference's single-solid blend (Sec. 4.3) at S=1 and to its
+hand-written two-solid variant at S=2. The entire RK4 evaluates as one fused
+XLA program — the reference's ~15 NumPy temporaries per stage
+(docs/PERFORMANCE.md:28-31) fuse away.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pyrmt_tpu.ops.contact import compute_contact_force
+from pyrmt_tpu.ops.fd import (
+    diff_upwind_3rd,
+    grad_central_x_2nd,
+    grad_central_y_2nd,
+)
+from pyrmt_tpu.ops.levelset import compute_curvature
+from pyrmt_tpu.ops.stress import smoothed_heaviside, solid_cauchy_stress
+
+
+def compute_timestep(
+    a, b, dx, dy, CFL, dt_min_cap, mu_s, rho_s, gamma, rho_f,
+    mu_f=0.0, eta_s=0.0, kappa=0.0,
+):
+    """Adaptive dt: min of solid P-wave CFL, fluid advection CFL, Brackbill
+    capillary, viscous diffusion, and dt_min_cap
+    (parity: pyRMT/functions.py:165-192). Everything but the fluid CFL is a
+    compile-time constant; the single traced reduction is max|u|."""
+    import numpy as np
+
+    cs_solid = np.sqrt((kappa + mu_s * 4.0 / 3.0) / (rho_s + 1e-12))
+    dt_solid = CFL * dx / (cs_solid + 1e-14)
+
+    u_max = jnp.max(jnp.sqrt(a**2 + b**2))
+    dt_fluid = CFL * dx / (u_max + 1e-6)
+
+    dt_st = 1.0
+    if gamma > 1e-12:
+        rho_avg = 0.5 * (rho_s + rho_f)
+        dt_st = np.sqrt((rho_avg * dx**3) / (2.0 * np.pi * gamma)) * 0.5
+
+    dt_visc = 1.0
+    mu_max = max(mu_f, eta_s)
+    rho_min = min(rho_s, rho_f)
+    if mu_max > 1e-12 and rho_min > 1e-12:
+        dt_visc = CFL * rho_min * dx**2 / (4.0 * mu_max)
+
+    dt_static = min(dt_solid, dt_st, dt_visc, dt_min_cap)
+    return jnp.minimum(dt_fluid, dt_static)
+
+
+def velocity_rhs_blended(
+    u, v, p, sig_sxx, sig_sxy, sig_syy, dx, dy, mu_f, Hf, rho_local,
+    f_ext_x, f_ext_y,
+):
+    """Conservative one-fluid RHS: blend stress tensors BEFORE the divergence
+    (Jain et al. 2019, Sec. 4.3; parity: pyRMT/functions.py:818-865).
+
+    ``sig_s**`` here are the PRE-BLENDED solid contributions
+    sum_i (1-H_i) sigma_s_i, and ``Hf`` is the fluid fraction
+    sum_i H_i - (S-1), so the same RHS serves any solid count.
+    ``f_ext`` collects surface-tension + contact body forces.
+    """
+    du_dx = grad_central_x_2nd(u, dx)
+    dv_dy = grad_central_y_2nd(v, dy)
+    du_dy = grad_central_y_2nd(u, dy)
+    dv_dx = grad_central_x_2nd(v, dx)
+
+    sig_xx = Hf * (2.0 * mu_f * du_dx) + sig_sxx
+    sig_yy = Hf * (2.0 * mu_f * dv_dy) + sig_syy
+    sig_xy = Hf * (mu_f * (du_dy + dv_dx)) + sig_sxy
+
+    div_sigma_x = grad_central_x_2nd(sig_xx, dx) + grad_central_y_2nd(sig_xy, dy)
+    div_sigma_y = grad_central_x_2nd(sig_xy, dx) + grad_central_y_2nd(sig_yy, dy)
+
+    u_adv = -u * diff_upwind_3rd(u, u, dx, 1) - v * diff_upwind_3rd(u, v, dy, 0)
+    v_adv = -u * diff_upwind_3rd(v, u, dx, 1) - v * diff_upwind_3rd(v, v, dy, 0)
+
+    dp_dx = grad_central_x_2nd(p, dx)
+    dp_dy = grad_central_y_2nd(p, dy)
+
+    inv_rho = 1.0 / (rho_local + 1e-12)
+    rhs_u = u_adv + (div_sigma_x + f_ext_x - dp_dx) * inv_rho
+    rhs_v = v_adv + (div_sigma_y + f_ext_y - dp_dy) * inv_rho
+    return rhs_u, rhs_v
+
+
+def momentum_step_rk4_multi(
+    u, v, p, X1s, X2s, phis, velocity_bc, *,
+    mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
+    gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
+):
+    """Generic n-solid RK4 momentum step.
+
+    X1s, X2s, phis are (S, Ny, Nx) stacks. Returns
+    (u_new, v_new, sxx, sxy, syy, J) with the per-solid stress stacks and J.
+    """
+    S = X1s.shape[0]
+
+    stress_fn = lambda x1, x2, ph: solid_cauchy_stress(
+        x1, x2, dx, dy, mu_s, kappa, ph, w_cut=stress_w_cut, detg_clamp=stress_clamp
+    )
+    sxx_s, sxy_s, syy_s, J_s = jax.vmap(stress_fn)(X1s, X2s, phis)
+
+    H_s = jax.vmap(lambda ph: smoothed_heaviside(ph, w_t))(phis)
+    one_minus_H = 1.0 - H_s
+    Hf = jnp.sum(H_s, axis=0) - (S - 1.0)
+    rho_local = Hf * rho_f + jnp.sum(one_minus_H, axis=0) * rho_s
+
+    # pre-blended elastic solid stress: sum_i (1-H_i) sigma_i
+    sig_sxx_el = jnp.sum(one_minus_H * sxx_s, axis=0)
+    sig_sxy_el = jnp.sum(one_minus_H * sxy_s, axis=0)
+    sig_syy_el = jnp.sum(one_minus_H * syy_s, axis=0)
+
+    # external body forces constant over the RK4 stages
+    f_ext_x = jnp.zeros_like(u)
+    f_ext_y = jnp.zeros_like(v)
+    if gamma > 1e-12:
+        for i in range(S):
+            kap = compute_curvature(phis[i], dx, dy)
+            dH_dx = grad_central_x_2nd(H_s[i], dx)
+            dH_dy = grad_central_y_2nd(H_s[i], dy)
+            f_ext_x = f_ext_x - gamma * kap * dH_dx
+            f_ext_y = f_ext_y - gamma * kap * dH_dy
+    if k_rep > 0.0 and S >= 2:
+        wc = (2.0 * w_t) if w_c is None else w_c
+        for i in range(S):
+            for j in range(i + 1, S):
+                fcx, fcy = compute_contact_force(phis[i], phis[j], k_rep, wc, dx, dy)
+                f_ext_x = f_ext_x + fcx
+                f_ext_y = f_ext_y + fcy
+
+    solid_masks = phis <= 0.0
+    use_kv = eta_s > 0.0
+
+    def rhs(u_stage, v_stage):
+        u_stage, v_stage = velocity_bc(u_stage, v_stage)
+        sxx, sxy, syy = sig_sxx_el, sig_sxy_el, sig_syy_el
+        if use_kv:
+            # Kelvin-Voigt damping: eta_s * rate-of-strain inside each solid,
+            # entering through the same (1-H_i) blend as the elastic stress
+            # is blended with, restricted to phi_i <= 0 like the reference
+            # (pyRMT/functions.py:639-651).
+            du_dx = grad_central_x_2nd(u_stage, dx)
+            dv_dy = grad_central_y_2nd(v_stage, dy)
+            du_dy = grad_central_y_2nd(u_stage, dy)
+            dv_dx = grad_central_x_2nd(v_stage, dx)
+            kv_xx = eta_s * du_dx
+            kv_yy = eta_s * dv_dy
+            kv_xy = eta_s * 0.5 * (du_dy + dv_dx)
+            for i in range(S):
+                m = solid_masks[i] * one_minus_H[i]
+                sxx = sxx + m * kv_xx
+                syy = syy + m * kv_yy
+                sxy = sxy + m * kv_xy
+        return velocity_rhs_blended(
+            u_stage, v_stage, p, sxx, sxy, syy, dx, dy, mu_f, Hf, rho_local,
+            f_ext_x, f_ext_y,
+        )
+
+    k1u, k1v = rhs(u, v)
+    k2u, k2v = rhs(u + 0.5 * dt * k1u, v + 0.5 * dt * k1v)
+    k3u, k3v = rhs(u + 0.5 * dt * k2u, v + 0.5 * dt * k2v)
+    k4u, k4v = rhs(u + dt * k3u, v + dt * k3v)
+
+    u_new = u + (dt / 6.0) * (k1u + 2 * k2u + 2 * k3u + k4u)
+    v_new = v + (dt / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
+    u_new, v_new = velocity_bc(u_new, v_new)
+
+    return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
+
+
+def momentum_step_rk4(
+    u, v, p, X1, X2, velocity_bc, mu_s, kappa, eta_s, dx, dy, dt,
+    rho_s, rho_f, phi, mu_f, w_t, gamma=0.0, stress_band=False, detg_clamp=3.0,
+):
+    """Single-solid parity wrapper (pyRMT/functions.py:594-683).
+
+    NOTE one deliberate blend refinement vs the reference: the reference adds
+    the Kelvin-Voigt stress directly into sigma_s, which then enters through
+    (1-H); we do the same via the generic path (m = mask * (1-H) applied to
+    the pre-blended field is identical because sigma_s enters the blend
+    linearly)."""
+    w_cut = w_t if stress_band else 0.0
+    clamp = detg_clamp if stress_band else 0.0
+    u_new, v_new, sxx_s, sxy_s, syy_s, J_s = momentum_step_rk4_multi(
+        u, v, p, X1[None], X2[None], phi[None], velocity_bc,
+        mu_s=mu_s, kappa=kappa, eta_s=eta_s, dx=dx, dy=dy, dt=dt,
+        rho_s=rho_s, rho_f=rho_f, mu_f=mu_f, w_t=w_t, gamma=gamma,
+        stress_w_cut=w_cut, stress_clamp=clamp,
+    )
+    return u_new, v_new, sxx_s[0], sxy_s[0], syy_s[0], J_s[0]
+
+
+def momentum_step_rk4_2solids(
+    u, v, p, X1a, X2a, X1b, X2b, velocity_bc, mu_s, kappa, eta_s,
+    dx, dy, dt, rho_s, rho_f, phi_a, phi_b, mu_f, w_t,
+    k_rep=0.0, w_c=None, detg_clamp=4.0,
+):
+    """Two-solid parity wrapper (pyRMT/functions.py:686-755): legacy
+    interior-only stress with a detG clamp (essential for collisions),
+    n=2 mixture, optional repulsive contact. Returns (u, v, min(Ja, Jb))."""
+    u_new, v_new, _, _, _, J_s = momentum_step_rk4_multi(
+        u, v, p,
+        jnp.stack([X1a, X1b]), jnp.stack([X2a, X2b]),
+        jnp.stack([phi_a, phi_b]), velocity_bc,
+        mu_s=mu_s, kappa=kappa, eta_s=0.0, dx=dx, dy=dy, dt=dt,
+        rho_s=rho_s, rho_f=rho_f, mu_f=mu_f, w_t=w_t, gamma=0.0,
+        stress_w_cut=0.0, stress_clamp=detg_clamp, k_rep=k_rep, w_c=w_c,
+    )
+    return u_new, v_new, jnp.minimum(J_s[0], J_s[1])

@@ -1,0 +1,121 @@
+"""Momentum step + timestep: smoke and consistency checks."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from pyrmt_tpu.grid import create_grid
+from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+from pyrmt_tpu.ops.levelset import apply_phi_BCs
+from pyrmt_tpu.physics import (
+    compute_timestep,
+    momentum_step_rk4,
+    momentum_step_rk4_2solids,
+)
+
+
+def _disc(X, Y, x0, y0, R):
+    return np.sqrt((X - x0) ** 2 + (Y - y0) ** 2) - R
+
+
+def test_timestep_limits():
+    N = 65
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    a = jnp.ones((N, N))
+    b = jnp.zeros((N, N))
+    # pure fluid advection limit: CFL*dx/(|u|+1e-6)
+    dt = float(compute_timestep(a, b, dx, dy, 0.2, 1.0, 0.0, 0.0, 0.0, 1.0))
+    assert abs(dt - 0.2 * dx / (1.0 + 1e-6)) < 1e-12
+    # solid wave-speed limit dominates for stiff solid at rest
+    dt2 = float(
+        compute_timestep(0 * a, b, dx, dy, 0.2, 1.0, 100.0, 1.0, 0.0, 1.0)
+    )
+    cs = np.sqrt(100.0 * 4.0 / 3.0)
+    assert abs(dt2 - 0.2 * dx / (cs + 1e-14)) < 1e-12
+    # viscous limit
+    dt3 = float(
+        compute_timestep(0 * a, b, dx, dy, 0.2, 1.0, 0.0, 1.0, 0.0, 1.0, mu_f=1.0)
+    )
+    assert abs(dt3 - 0.2 * dx**2 / 4.0) < 1e-12
+
+
+def _free_slip(u, v):
+    u = u.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    v = v.at[:, 0].set(v[:, 1]).at[:, -1].set(v[:, -2])
+    v = v.at[0, :].set(0.0).at[-1, :].set(0.0)
+    u = u.at[0, :].set(u[1, :]).at[-1, :].set(u[-2, :])
+    return u, v
+
+
+def test_undeformed_solid_at_rest_stays_at_rest():
+    """Identity reference map + zero velocity: sigma = mu*I is constant, so
+    div(blended sigma) is ~0 away from the interface and the momentum step
+    produces only small interface-localised velocities."""
+    N = 65
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    phi = _disc(Xn, Yn, 0.5, 0.5, 0.2)
+    solid = (phi < 0).astype(float)
+    X1, X2 = extrapolate_reference_map(Xn * solid, Yn * solid, phi, dx, dy, 3)
+    u = jnp.zeros((N, N))
+    v = jnp.zeros((N, N))
+    p = jnp.zeros((N, N))
+    dt = 1e-4
+    un, vn, sxx, sxy, syy, J = momentum_step_rk4(
+        u, v, p, X1, X2, _free_slip, 1.0, 0.0, 0.0, dx, dy, dt,
+        1.0, 1.0, jnp.asarray(phi), 1e-3, 2 * dx)
+    un, vn, J = map(np.asarray, (un, vn, J))
+    assert np.all(np.isfinite(un)) and np.all(np.isfinite(vn))
+    assert np.allclose(J[phi <= 0], 1.0, atol=1e-5)
+    # interface force from the smoothed blend is the only residual
+    far = np.abs(phi) > 4 * dx
+    assert np.max(np.abs(un[far])) < 1e-6
+    assert np.max(np.abs(vn[far])) < 1e-6
+
+
+def test_two_solid_momentum_step_runs():
+    """Two-solid step (blended stress + contact force) returns finite fields
+    (same contract as the reference's tests/test_contact.py:44-64)."""
+    N = 48
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    R = 0.15
+    pa = np.asarray(apply_phi_BCs(jnp.asarray(_disc(Xn, Yn, 0.35, 0.5, R))))
+    pb = np.asarray(apply_phi_BCs(jnp.asarray(_disc(Xn, Yn, 0.65, 0.5, R))))
+    ma = (pa <= 0).astype(float)
+    mb = (pb <= 0).astype(float)
+    X1a, X2a = extrapolate_reference_map(Xn * ma, Yn * ma, pa, dx, dy, 3)
+    X1b, X2b = extrapolate_reference_map(Xn * mb, Yn * mb, pb, dx, dy, 3)
+    bc = lambda u, v: (u, v)
+    u = jnp.zeros((N, N))
+    v = jnp.zeros((N, N))
+    p = jnp.zeros((N, N))
+    un, vn, Jmin = momentum_step_rk4_2solids(
+        u, v, p, X1a, X2a, X1b, X2b, bc, 1.0, 0.0, 0.0, dx, dy, 1e-3, 1.0, 1.0,
+        jnp.asarray(pa), jnp.asarray(pb), 0.01, 2 * dx, k_rep=2.0, w_c=3 * dx)
+    assert np.all(np.isfinite(np.asarray(un)))
+    assert np.all(np.isfinite(np.asarray(vn)))
+    assert np.all(np.isfinite(np.asarray(Jmin)))
+
+
+def test_kelvin_voigt_damps_shear():
+    """With eta_s > 0 a shearing solid produces different (damped) stage
+    dynamics than eta_s = 0."""
+    N = 49
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    phi = _disc(Xn, Yn, 0.5, 0.5, 0.25)
+    solid = (phi < 0).astype(float)
+    X1, X2 = extrapolate_reference_map(Xn * solid, Yn * solid, phi, dx, dy, 3)
+    u = jnp.asarray(0.1 * np.sin(np.pi * Yn))
+    v = jnp.zeros((N, N))
+    p = jnp.zeros((N, N))
+    args = (u, v, p, X1, X2, lambda a, b: (a, b), 1.0, 0.0)
+    kw = dict(dx=dx, dy=dy, dt=1e-3, rho_s=1.0, rho_f=1.0,
+              phi=jnp.asarray(phi), mu_f=1e-3, w_t=2 * dx)
+    u0, v0, *_ = momentum_step_rk4(*args, 0.0, kw["dx"], kw["dy"], kw["dt"],
+                                   kw["rho_s"], kw["rho_f"], kw["phi"],
+                                   kw["mu_f"], kw["w_t"])
+    u1, v1, *_ = momentum_step_rk4(*args, 0.05, kw["dx"], kw["dy"], kw["dt"],
+                                   kw["rho_s"], kw["rho_f"], kw["phi"],
+                                   kw["mu_f"], kw["w_t"])
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
