@@ -1,0 +1,66 @@
+"""Headline benchmark: FSI steps/sec, soft disc in lid-driven cavity.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference (Numba, 8 CPU threads) does ~31 ms/step at N=128
+(docs/PERFORMANCE.md:3-5). Its kernels are O(N^2) and the DCT is
+O(N^2 log N), so at the target N=1024 the projected reference step is
+31 ms * 64 = ~1.98 s (kernel-dominated; log-factor ignored — conservative in
+the reference's favour). vs_baseline = projected_ref_step_time / our_step_time.
+
+Usage: python bench.py [N] [steps]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(N=1024, n_steps=50):
+    import pyrmt_tpu.runtime as rt
+
+    rt.setup()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.sim import make_init_state, make_run_chunk, make_step
+    from __graft_entry__ import _flagship
+
+    cfg, bc, phi_inits = _flagship(N, jnp.float32)
+    step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
+    state = make_init_state(cfg, phi_inits, dtype=jnp.float32)
+    t_end = jnp.asarray(1e9, jnp.float32)
+
+    chunk = make_run_chunk(step, n_steps)
+
+    # warmup / compile
+    state_w, _ = chunk(state, t_end)
+    jax.block_until_ready(state_w.u)
+
+    t0 = time.perf_counter()
+    state2, ts = chunk(state_w, t_end)
+    jax.block_until_ready(state2.u)
+    wall = time.perf_counter() - t0
+
+    step_ms = wall / n_steps * 1e3
+    steps_per_sec = n_steps / wall
+
+    ref_step_ms_at_128 = 31.0  # docs/PERFORMANCE.md:3-5
+    ref_step_ms = ref_step_ms_at_128 * (N / 128.0) ** 2
+    vs_baseline = ref_step_ms / step_ms
+
+    print(json.dumps({
+        "metric": f"fsi_steps_per_sec_N{N}",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    main(N=N, n_steps=n_steps)

@@ -1,0 +1,137 @@
+"""Soft disc in a lid-driven cavity (Jain et al. 2019 Sec. 4.5; Sugiyama 2011).
+
+THE primary FSI validation case — parity with the reference driver
+benchmarks/soft_disc_in_lid_driven.py: a neo-Hookean disc (R=0.2 at
+(0.6, 0.5)) carried by the cavity flow; the centroid trajectory is compared
+against Sugiyama et al. (2011) 1024^2 and Kolahduz (2023)
+(data/Sugiyama_1024x1024.csv, data/Kolahduz_2023.csv).
+
+Physics (Jain Sec. 4.5): mu_f=1e-2, eta_s=1e-2, mu_s(code)=0.1 (paper 0.05),
+rho_s=rho_f=1, no-slip walls + moving lid, Neumann/DCT pressure.
+
+Usage:
+    python benchmarks/soft_disc_in_lid_driven.py [N] [scheme] [t_end] [--f64]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
+        out_root="outputs", stress_band=False, detg_clamp=3.0, dtype="float32",
+        log_every=100, snapshot_times=None, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.common import DATA_DIR, ensure_dir, load_xy_csv, make_disc_phi_init
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.diagnostics import compute_kinetic_energy, disc_centroid
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.io import EnergyLogger, save_snapshot
+    from pyrmt_tpu.sim import RMTConfig, diverged, make_init_state, make_step
+
+    dt_ = jnp.float64 if dtype == "float64" else jnp.float32
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    phi_init = make_disc_phi_init(0.6, 0.5, 0.2)
+
+    cfg = RMTConfig(
+        grid=g, mu_s=0.1, kappa=0.0, rho_s=1.0, eta_s=0.01,
+        mu_f=0.01, rho_f=1.0, w_t_cells=2.0, scheme=scheme,
+        bc_type="neumann", reinit_method=reinit_method,
+        stress_band=stress_band, detg_clamp=detg_clamp, num_layers=3,
+        CFL=0.2, dt_min_cap=1e-3,
+    )
+    bc = make_lid_bc(1.0)
+    step = make_step(cfg, bc, (phi_init,), dtype=dt_)
+    state = make_init_state(cfg, (phi_init,), dtype=dt_)
+    X, Y = g.coords(dtype=dt_)
+    t_end_j = jnp.asarray(t_end, dt_)
+
+    snap_targets = sorted(snapshot_times) if snapshot_times else []
+    snap_idx = 0
+    out_dir = ensure_dir(os.path.join(out_root, f"soft_disc_lid_N{N}_{scheme}"))
+
+    @jax.jit
+    def chunk(s):
+        def body(carry, _):
+            s, _ = carry
+            s2, aux = step(s, t_end_j)
+            return (s2, aux), None
+
+        s1, aux1 = step(s, t_end_j)
+        (s2, aux), _ = jax.lax.scan(body, (s1, aux1), None, length=log_every - 1)
+        cx, cy = disc_centroid(aux["phis"][0], X, Y)
+        ke = compute_kinetic_energy(
+            s2.u, s2.v, cfg.rho_f, cfg.rho_s, aux["phis"][0], cfg.w_t, g.dx, g.dy
+        )
+        return s2, aux, (cx, cy, ke)
+
+    if verbose:
+        print(f"[soft-disc-lid] N={N} scheme={scheme} dtype={dtype} t_end={t_end}")
+    log = EnergyLogger()
+    t_wall = time.perf_counter()
+    nsteps = 0
+    while float(state.t) < t_end:
+        state, aux, (cx, cy, ke) = chunk(state)
+        nsteps += log_every
+        t = float(state.t)
+        log.log(t=t, cx=float(cx), cy=float(cy), ke=float(ke),
+                minJ=float(aux["J"].min()), maxJ=float(aux["J"].max()))
+        if verbose:
+            print(f"  step {nsteps:6d} t={t:6.3f} centroid=({float(cx):.4f},"
+                  f"{float(cy):.4f}) KE={float(ke):.3e} "
+                  f"minJ={float(aux['J'].min()):.3f}")
+        while snap_idx < len(snap_targets) and t >= snap_targets[snap_idx]:
+            tt = snap_targets[snap_idx]
+            save_snapshot(
+                os.path.join(out_dir, f"snap_t{tt:05.2f}.h5"),
+                {"phi": aux["phis"][0], "X1": state.X1[0], "X2": state.X2[0],
+                 "a": state.u, "b": state.v, "p": state.p, "J": aux["J"][0],
+                 "sigma_xx": aux["sxx"][0], "sigma_xy": aux["sxy"][0],
+                 "sigma_yy": aux["syy"][0]},
+                attrs={"t": t, "t_target": tt},
+            )
+            snap_idx += 1
+        if bool(diverged(state)):
+            print("  [diverged]")
+            break
+    wall = time.perf_counter() - t_wall
+    if verbose:
+        print(f"[soft-disc-lid] {nsteps} steps in {wall:.1f}s "
+              f"({nsteps / wall:.1f} steps/s)")
+
+    traj = log.array("t", "cx", "cy", "minJ", "maxJ")
+    np.savetxt(os.path.join(out_dir, "centroid.csv"), traj, delimiter=",",
+               header="t,cx,cy,minJ,maxJ", comments="")
+
+    # orbit x-extent diagnostic vs Sugiyama (benchmarks/README.md:107-113:
+    # grid-converged orbit x-extent ~0.70)
+    x_extent = float(traj[:, 1].max() - traj[:, 1].min()) if len(traj) else float("nan")
+    refs = {}
+    for name, fn in (("Sugiyama2011", "Sugiyama_1024x1024.csv"),
+                     ("Kolahduz2023", "Kolahduz_2023.csv")):
+        path = os.path.join(DATA_DIR, fn)
+        if os.path.isfile(path):
+            refs[name] = load_xy_csv(path)
+    if verbose and refs:
+        for name, (rx, ry) in refs.items():
+            print(f"  ref {name}: x-extent={rx.max() - rx.min():.3f}")
+        print(f"  ours: orbit x-extent={x_extent:.3f}")
+    return traj, x_extent
+
+
+if __name__ == "__main__":
+    from benchmarks.common import apply_cli_platform
+
+    apply_cli_platform()
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    scheme = sys.argv[2] if len(sys.argv) > 2 else "semilagrangian"
+    t_end = float(sys.argv[3]) if len(sys.argv) > 3 else 8.0
+    dtype = "float64" if "--f64" in sys.argv else "float32"
+    run(N=N, scheme=scheme, t_end=t_end, dtype=dtype)

@@ -203,14 +203,23 @@ def compute_pressure_gradient(p, dx, dy):
     non-normal component on boundary rows/cols (it only fills dpdx on x-faces
     of the interior rows via the [1:-1,1:-1] slice and boundary columns);
     we reproduce that exactly."""
-    dpdx = jnp.zeros_like(p)
-    dpdy = jnp.zeros_like(p)
-    dpdx = dpdx.at[1:-1, 1:-1].set((p[1:-1, 2:] - p[1:-1, :-2]) / (2.0 * dx))
-    dpdy = dpdy.at[1:-1, 1:-1].set((p[2:, 1:-1] - p[:-2, 1:-1]) / (2.0 * dy))
-    dpdx = dpdx.at[:, 0].set((-3.0 * p[:, 0] + 4.0 * p[:, 1] - p[:, 2]) / (2.0 * dx))
-    dpdx = dpdx.at[:, -1].set((3.0 * p[:, -1] - 4.0 * p[:, -2] + p[:, -3]) / (2.0 * dx))
-    dpdy = dpdy.at[0, :].set((-3.0 * p[0, :] + 4.0 * p[1, :] - p[2, :]) / (2.0 * dy))
-    dpdy = dpdy.at[-1, :].set((3.0 * p[-1, :] - 4.0 * p[-2, :] + p[-3, :]) / (2.0 * dy))
+    # Built scatter-free (concat + row/col masks): XLA's SPMD partitioner
+    # miscompiles the fused scatter-into-zeros formulation at shard
+    # boundaries (observed on the 8-device CPU mesh), and masks fuse better
+    # on TPU anyway.
+    Ny, Nx = p.shape
+    jj = jnp.arange(Ny)[:, None]
+    ii = jnp.arange(Nx)[None, :]
+
+    dpdx_full = _grad_x_cc(p, dx)
+    row_interior = (jj > 0) & (jj < Ny - 1)
+    col_boundary = (ii == 0) | (ii == Nx - 1)
+    dpdx = jnp.where(col_boundary | row_interior, dpdx_full, 0.0)
+
+    dpdy_full = _grad_y_cc(p, dy)
+    col_interior = (ii > 0) & (ii < Nx - 1)
+    row_boundary = (jj == 0) | (jj == Ny - 1)
+    dpdy = jnp.where(row_boundary | col_interior, dpdy_full, 0.0)
     return dpdx, dpdy
 
 

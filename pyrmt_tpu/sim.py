@@ -1,0 +1,348 @@
+"""Simulation core: functional state pytree + ONE jitted FSI timestep.
+
+This replaces the reference's architecture (hand-written per-driver time
+loops threading ~10 loose arrays through free functions — e.g.
+benchmarks/soft_disc_in_lid_driven.py:78-123) with the idiomatic JAX shape:
+
+    state' , aux = step(state, t_end)        # one compiled XLA program
+
+The step performs the full RMT pipeline (parity with the reference loop):
+  1. adaptive dt (compute_timestep), clipped to t_end,
+  2. phi_i = phi_init_i(X1_i, X2_i) compatibility rebuild (+optional reinit),
+  3. advect all 2S reference-map components (ONE shared semi-Lagrangian
+     backtrace), reset the fluid side, re-extrapolate the narrow band,
+  4. rebuild phi from the advected map,
+  5. blended n-solid RK4 momentum step,
+  6. mixture density + pressure projection (incremental, Rhie-Chow),
+  7. t += dt.
+
+S = 0 solids degenerates exactly to the pure-fluid Navier-Stokes solver
+(Hf == 1, rho == rho_f), so the lid-driven cavity uses the same step.
+
+Divergence handling: the reference raises FloatingPointError on non-finite
+velocity (pyRMT/functions.py:460-465); under jit nothing can segfault, so
+``diverged(state)`` exposes the same contract as a checkable predicate
+(drivers poll it, mirroring two_disc_tg_collision.py:101-111).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pyrmt_tpu.grid import Grid
+from pyrmt_tpu.ops.advect import advect_reference_map_multi
+from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+from pyrmt_tpu.ops.levelset import reinitialize_level_set
+from pyrmt_tpu.ops.poisson import (
+    precompute_poisson_eigenvalues,
+    precompute_poisson_eigenvalues_periodic,
+)
+from pyrmt_tpu.ops.projection import pressure_projection
+from pyrmt_tpu.ops.stress import smoothed_heaviside
+from pyrmt_tpu.physics import compute_timestep, momentum_step_rk4_multi
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SimState:
+    """The whole simulation state as one pytree (device-resident)."""
+
+    u: jax.Array           # (Ny, Nx)
+    v: jax.Array           # (Ny, Nx)
+    p: jax.Array           # (Ny, Nx)
+    X1: jax.Array          # (S, Ny, Nx) reference-map x-components
+    X2: jax.Array          # (S, Ny, Nx) reference-map y-components
+    t: jax.Array           # scalar time
+    step: jax.Array        # int32 step counter
+
+
+@dataclasses.dataclass(frozen=True)
+class RMTConfig:
+    """Static configuration — every field is a trace-time constant."""
+
+    grid: Grid
+    # physics
+    mu_s: float = 0.0
+    kappa: float = 0.0
+    eta_s: float = 0.0
+    rho_s: float = 1.0
+    mu_f: float = 1.0
+    rho_f: float = 1.0
+    gamma: float = 0.0
+    w_t_cells: float = 2.0          # transition width in units of dx
+    # numerics
+    scheme: str = "semilagrangian"  # 'semilagrangian' | 'central2' | 'weno5'
+    bc_type: str = "neumann"        # 'neumann' | 'periodic'
+    reinit_method: str = "none"     # 'none' | 'pde' | 'fmm'
+    reinit_iters: int = 20
+    stress_band: bool = False
+    detg_clamp: float = 3.0
+    two_solid_clamp: float = 4.0    # legacy-mode clamp used when S >= 2
+    num_layers: int = 3
+    w_cut: float = 0.0
+    k_rep: float = 0.0
+    w_c_cells: float = 3.0          # contact half-width in units of dx
+    CFL: float = 0.2
+    dt_min_cap: float = 1e-3
+    variable_rho: bool = False      # static: solid/fluid densities differ
+    cg_tol: float = 1e-6
+    cg_maxiter: int = 200
+
+    @property
+    def w_t(self) -> float:
+        return self.w_t_cells * self.grid.dx
+
+    @property
+    def w_c(self) -> float:
+        return self.w_c_cells * self.grid.dx
+
+
+def required_extrapolation_layers(w_t, dx):
+    """ceil(w_t/dx) + 1 (parity: benchmarks/common.py:70-80)."""
+    import math
+
+    return int(math.ceil(w_t / dx)) + 1
+
+
+def check_narrow_band(w_t, dx, num_layers):
+    """Raise if the extrapolation band cannot cover the (1-H)>0 blend region
+    (parity: benchmarks/common.py:83-91)."""
+    need = required_extrapolation_layers(w_t, dx)
+    if num_layers < need:
+        raise ValueError(
+            "Narrow-band inconsistency: w_t=%.4g (=%0.2f dx) needs >= %d "
+            "extrapolation layers but only %d requested." % (w_t, w_t / dx, need, num_layers)
+        )
+    return need
+
+
+def make_step(
+    cfg: RMTConfig,
+    velocity_bc: Callable,
+    phi_inits: Sequence[Callable] = (),
+    dtype=jnp.float32,
+):
+    """Build the jitted FSI step for a fixed configuration.
+
+    ``phi_inits`` is one analytic level-set function per solid,
+    phi_i = phi_inits[i](X1_i, X2_i); an empty sequence gives the pure-fluid
+    solver. Returns ``step(state, t_end) -> (state, aux)``.
+    """
+    g = cfg.grid
+    dx, dy = g.dx, g.dy
+    S = len(phi_inits)
+    if S > 0:
+        check_narrow_band(cfg.w_t, dx, cfg.num_layers)
+    X, Y = g.coords(dtype=dtype)
+
+    if cfg.bc_type == "periodic":
+        eig = precompute_poisson_eigenvalues_periodic(g.Nx, g.Ny, dx, dy, dtype=dtype)
+    else:
+        eig = precompute_poisson_eigenvalues(g.Nx, g.Ny, dx, dy, dtype=dtype)
+
+    # stress mode: single solid follows stress_band; multi-solid uses the
+    # legacy interior stress with the collision clamp (reference behaviour)
+    if S >= 2:
+        stress_w_cut = 0.0
+        stress_clamp = cfg.two_solid_clamp
+    else:
+        stress_w_cut = cfg.w_t if cfg.stress_band else 0.0
+        stress_clamp = cfg.detg_clamp if cfg.stress_band else 0.0
+
+    def rebuild_phis(X1s, X2s):
+        return jnp.stack(
+            [phi_inits[i](X1s[i], X2s[i]) for i in range(S)]
+        ) if S else jnp.zeros((0,) + g.shape, dtype)
+
+    @jax.jit
+    def step(state: SimState, t_end):
+        u, v, p = state.u, state.v, state.p
+        X1s, X2s = state.X1, state.X2
+
+        dt = compute_timestep(
+            u, v, dx, dy, cfg.CFL, cfg.dt_min_cap, cfg.mu_s, cfg.rho_s,
+            cfg.gamma, cfg.rho_f, mu_f=cfg.mu_f, eta_s=cfg.eta_s, kappa=cfg.kappa,
+        )
+        dt = jnp.minimum(dt, jnp.maximum(t_end - state.t, 0.0)).astype(dtype)
+
+        if S > 0:
+            # (2) compatibility rebuild (+ optional reinitialisation)
+            phis = rebuild_phis(X1s, X2s)
+            if cfg.reinit_method != "none":
+                phis = jnp.stack([
+                    reinitialize_level_set(
+                        phis[i], dx, dy, method=cfg.reinit_method,
+                        num_iters=cfg.reinit_iters,
+                    )
+                    for i in range(S)
+                ])
+            solid_masks = (phis <= 0.0).astype(dtype)
+
+            # (3) advect all reference-map components; the semi-Lagrangian
+            # backtrace is field-independent so all 2S components share it
+            if cfg.scheme == "semilagrangian":
+                qs = jnp.concatenate([X1s, X2s], axis=0)
+                qs_new = advect_reference_map_multi(
+                    qs, u, v, X, Y, dt, dx, dy, None, cfg.scheme, cfg.w_cut
+                )
+                X1s_a, X2s_a = qs_new[:S], qs_new[S:]
+            else:
+                X1s_a = jnp.stack([
+                    advect_reference_map_multi(
+                        X1s[i : i + 1], u, v, X, Y, dt, dx, dy, phis[i],
+                        cfg.scheme, cfg.w_cut,
+                    )[0]
+                    for i in range(S)
+                ])
+                X2s_a = jnp.stack([
+                    advect_reference_map_multi(
+                        X2s[i : i + 1], u, v, X, Y, dt, dx, dy, phis[i],
+                        cfg.scheme, cfg.w_cut,
+                    )[0]
+                    for i in range(S)
+                ])
+            X1s_a = X1s_a * solid_masks
+            X2s_a = X2s_a * solid_masks
+
+            ext = [
+                extrapolate_reference_map(
+                    X1s_a[i], X2s_a[i], phis[i], dx, dy, cfg.num_layers
+                )
+                for i in range(S)
+            ]
+            X1s = jnp.stack([e[0] for e in ext])
+            X2s = jnp.stack([e[1] for e in ext])
+
+            # (4) rebuild phi from the advected map
+            phis = rebuild_phis(X1s, X2s)
+        else:
+            phis = jnp.zeros((0,) + g.shape, dtype)
+
+        # (5) momentum
+        u_star, v_star, sxx_s, sxy_s, syy_s, J_s = momentum_step_rk4_multi(
+            u, v, p, X1s, X2s, phis, velocity_bc,
+            mu_s=cfg.mu_s, kappa=cfg.kappa, eta_s=cfg.eta_s, dx=dx, dy=dy,
+            dt=dt, rho_s=cfg.rho_s, rho_f=cfg.rho_f, mu_f=cfg.mu_f,
+            w_t=cfg.w_t, gamma=cfg.gamma, stress_w_cut=stress_w_cut,
+            stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
+        )
+
+        # (6) projection with the mixture density
+        if S > 0:
+            H_s = smoothed_heaviside(phis, cfg.w_t)
+            Hf = jnp.sum(H_s, axis=0) - (S - 1.0)
+            rho_local = Hf * cfg.rho_f + jnp.sum(1.0 - H_s, axis=0) * cfg.rho_s
+        else:
+            rho_local = jnp.full(g.shape, cfg.rho_f, dtype)
+
+        u_new, v_new, p_new = pressure_projection(
+            u_star, v_star, dx, dy, dt, rho_local, velocity_bc,
+            p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
+            variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
+            cg_maxiter=cfg.cg_maxiter,
+        )
+
+        new_state = SimState(
+            u=u_new, v=v_new, p=p_new, X1=X1s, X2=X2s,
+            t=state.t + dt, step=state.step + 1,
+        )
+        aux = {
+            "dt": dt,
+            "phis": phis,
+            "J": J_s,
+            "sxx": sxx_s,
+            "sxy": sxy_s,
+            "syy": syy_s,
+            "rho_local": rho_local,
+        }
+        return new_state, aux
+
+    return step
+
+
+def make_init_state(
+    cfg: RMTConfig,
+    phi_inits: Sequence[Callable] = (),
+    u0=None,
+    v0=None,
+    dtype=jnp.float32,
+):
+    """Initial state: reference maps seeded with the identity inside each
+    solid and extrapolated ``num_layers`` into the fluid (the same setup as
+    every reference driver)."""
+    g = cfg.grid
+    X, Y = g.coords(dtype=dtype)
+    S = len(phi_inits)
+    zeros = jnp.zeros(g.shape, dtype)
+    u = zeros if u0 is None else jnp.asarray(u0, dtype)
+    v = zeros if v0 is None else jnp.asarray(v0, dtype)
+
+    X1_list, X2_list = [], []
+    for i in range(S):
+        phi = phi_inits[i](X, Y)
+        mask = (phi <= 0.0).astype(dtype)
+        X1e, X2e = extrapolate_reference_map(
+            X * mask, Y * mask, phi, g.dx, g.dy, cfg.num_layers
+        )
+        X1_list.append(X1e)
+        X2_list.append(X2e)
+    X1s = jnp.stack(X1_list) if S else jnp.zeros((0,) + g.shape, dtype)
+    X2s = jnp.stack(X2_list) if S else jnp.zeros((0,) + g.shape, dtype)
+
+    return SimState(
+        u=u, v=v, p=zeros, X1=X1s, X2=X2s,
+        t=jnp.zeros((), dtype), step=jnp.zeros((), jnp.int32),
+    )
+
+
+def diverged(state: SimState, umax_cap=1.0e3):
+    """Blow-up predicate: non-finite fields or |u| above the cap
+    (parity contract: pyRMT/functions.py:460-465 +
+    benchmarks/two_disc_tg_collision.py:107-111)."""
+    umax = jnp.max(jnp.sqrt(state.u**2 + state.v**2))
+    finite = (
+        jnp.all(jnp.isfinite(state.u))
+        & jnp.all(jnp.isfinite(state.v))
+        & jnp.all(jnp.isfinite(state.p))
+        & jnp.all(jnp.isfinite(state.X1))
+        & jnp.all(jnp.isfinite(state.X2))
+    )
+    return (~finite) | (umax > umax_cap)
+
+
+def run_until(step_fn, state: SimState, t_end, max_steps=10**8, callback=None):
+    """Host-driven loop: one jitted step per iteration, with an optional
+    per-step host callback (diagnostics/IO). Stops at t_end or divergence."""
+    n = 0
+    while float(state.t) < t_end and n < max_steps:
+        state, aux = step_fn(state, t_end)
+        n += 1
+        if callback is not None:
+            callback(state, aux)
+        if bool(diverged(state)):
+            return state, True
+    return state, False
+
+
+def make_run_chunk(step_fn, n_steps: int):
+    """Compile ``n_steps`` adaptive-dt steps into ONE XLA program via
+    lax.scan — zero host round-trips (the benchmarking / production path)."""
+
+    @jax.jit
+    def run_chunk(state: SimState, t_end):
+        def body(s, _):
+            s2, _aux = step_fn(s, t_end)
+            return s2, s2.t
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return run_chunk
+
+
+def extrapolate_reference_map_compat(X1, X2, phi, dx, dy, max_layers):
+    """Reference-signature compatibility alias."""
+    return extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers)

@@ -1,0 +1,59 @@
+"""Multi-chip domain decomposition: sharded step == single-device step.
+
+Runs on the 8-device virtual CPU mesh from conftest (the same mechanism the
+driver's dryrun uses), exercising real XLA collectives (halo exchange for
+stencils/convs, FFT all-to-alls, psum reductions).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyrmt_tpu.bcs import free_slip_box_bc
+from pyrmt_tpu.grid import Grid
+from pyrmt_tpu.parallel import make_mesh, make_sharded_step, shard_state
+from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+
+def _disc_phi(x0, y0, R):
+    def phi_init(Xq, Yq):
+        return jnp.sqrt((Xq - x0) ** 2 + (Yq - y0) ** 2) - R
+
+    return phi_init
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fsi_step_matches_single_device():
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, mu_f=0.01, rho_f=1.0,
+                    rho_s=1.0, CFL=0.2, dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+
+    step1 = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    ref, _ = step1(state, jnp.asarray(1.0))
+
+    mesh = make_mesh(jax.devices()[:8])
+    stepN, shard = make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
+                                     dtype=jnp.float64)
+    out, _ = stepN(shard(state), jnp.asarray(1.0))
+
+    assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-8)
+    assert np.allclose(np.asarray(out.p), np.asarray(ref.p), atol=1e-8)
+    assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_factorization():
+    mesh = make_mesh(jax.devices()[:8])
+    assert mesh.devices.shape in ((2, 4), (4, 2))
+    mesh6 = make_mesh(jax.devices()[:6])
+    assert mesh6.devices.shape[0] * mesh6.devices.shape[1] == 6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_driver_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
