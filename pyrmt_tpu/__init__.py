@@ -53,6 +53,7 @@ from pyrmt_tpu.ops.levelset import (
 )
 from pyrmt_tpu.ops.contact import compute_contact_force
 from pyrmt_tpu.ops.poisson import (
+    build_poisson_matrix,
     precompute_poisson_eigenvalues,
     precompute_poisson_eigenvalues_periodic,
     solve_poisson_dct,

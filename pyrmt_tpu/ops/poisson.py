@@ -57,6 +57,37 @@ def idct1_2d(x):
     return idct1(idct1(x, axis=-1), axis=-2)
 
 
+def build_poisson_matrix(Nx, Ny, dx, dy):
+    """Explicit sparse 5-point Neumann Laplacian with ghost mirroring
+    p[-1]=p[1], p[N]=p[N-2] (parity: pyRMT/functions.py:870-924).
+
+    The solvers here are matrix-free; this host-side builder exists for API
+    parity, for tests that verify the DCT eigenvalues diagonalise exactly
+    this matrix, and for external tooling. Singular (all-Neumann): pin a node
+    or de-mean when solving against it.
+    """
+    import numpy as np
+    from scipy.sparse import lil_matrix
+
+    N = Nx * Ny
+    A = lil_matrix((N, N))
+    cx = 1.0 / dx**2
+    cy = 1.0 / dy**2
+
+    def idx(i, j):
+        return i + j * Nx
+
+    for j in range(Ny):
+        for i in range(Nx):
+            k = idx(i, j)
+            A[k, k] = -2 * cx - 2 * cy
+            A[k, idx(i - 1, j) if i > 0 else idx(i + 1, j)] += cx
+            A[k, idx(i + 1, j) if i < Nx - 1 else idx(i - 1, j)] += cx
+            A[k, idx(i, j - 1) if j > 0 else idx(i, j + 1)] += cy
+            A[k, idx(i, j + 1) if j < Ny - 1 else idx(i, j - 1)] += cy
+    return A.tocsr()
+
+
 # ── Neumann (ghost-mirror) eigenvalues + direct solve ────────────────────────
 
 

@@ -110,8 +110,10 @@ def stage_breakdown(N=128, dtype=None, iters=20, verbose=True):
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import pyrmt_tpu.runtime as rt
 
     rt.setup()

@@ -163,3 +163,22 @@ def test_variable_density_projection_reduces_divergence():
         bc_type="neumann", variable_rho=True)
     d1 = np.abs(np.asarray(compute_divergence(an, bn, dx, dy))[2:-2, 2:-2]).max()
     assert d1 < d0 / 50.0
+
+
+def test_dct_eigenvalues_diagonalize_explicit_matrix():
+    """The DCT-I eigenvalues must diagonalise EXACTLY the explicit
+    ghost-mirror matrix from build_poisson_matrix (the property that makes
+    the Neumann projection a direct solve)."""
+    from pyrmt_tpu.ops.poisson import build_poisson_matrix
+
+    N = 17
+    dx = 1.0 / (N - 1)
+    A = build_poisson_matrix(N, N, dx, dx)
+    rng = np.random.default_rng(3)
+    p = rng.standard_normal((N, N))
+    Ap = (A @ p.ravel()).reshape(N, N)
+    eig = np.asarray(precompute_poisson_eigenvalues(N, N, dx, dx))
+    lhs = np.asarray(dct1_2d(Ap))
+    rhs = eig * np.asarray(dct1_2d(p))
+    # skip the pinned (0,0) mode
+    assert np.allclose(lhs.ravel()[1:], rhs.ravel()[1:], atol=1e-7)
