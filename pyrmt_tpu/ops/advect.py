@@ -73,6 +73,34 @@ def advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy):
     return gather_bilinear_multi(qs, X_back, Y_back, dx, dy)
 
 
+def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy):
+    """Gather-free semi-Lagrangian RK4 (TPU fast path).
+
+    Valid whenever the CFL bound guarantees |displacement| < one cell — which
+    ``compute_timestep`` enforces (dt <= CFL dx / max|u| with CFL < 1); every
+    intermediate velocity sample is a convex combination of grid values, so
+    the bound holds at all four RK4 stages. Uses local shift+select bilinear
+    sampling (pyrmt_tpu.ops.interp.gather_bilinear_local) — pure VPU work.
+    """
+    from pyrmt_tpu.ops.interp import gather_bilinear_local
+
+    ab = jnp.stack([a, b])
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+
+    k1x, k1y = a, b
+    k2 = gather_bilinear_local(ab, -0.5 * dt * k1x * inv_dx, -0.5 * dt * k1y * inv_dy)
+    k2x, k2y = k2[0], k2[1]
+    k3 = gather_bilinear_local(ab, -0.5 * dt * k2x * inv_dx, -0.5 * dt * k2y * inv_dy)
+    k3x, k3y = k3[0], k3[1]
+    k4 = gather_bilinear_local(ab, -dt * k3x * inv_dx, -dt * k3y * inv_dy)
+    k4x, k4y = k4[0], k4[1]
+
+    sx = -(dt / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x) * inv_dx
+    sy = -(dt / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y) * inv_dy
+    return gather_bilinear_local(qs, sx, sy)
+
+
 def advect_semilagrangian_rk4(q, a, b, X, Y, dt, dx, dy):
     """Single-field parity wrapper (pyRMT/functions.py:194-227)."""
     return advect_semilagrangian_rk4_multi(q[None], a, b, X, Y, dt, dx, dy)[0]

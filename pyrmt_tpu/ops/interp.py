@@ -66,6 +66,113 @@ def gather_bilinear_multi(us, xq, yq, dx, dy):
     return jnp.where(finite, out, jnp.nan)
 
 
+def gather_bilinear_local(us, sx, sy):
+    """Bilinear sampling of a stack ``us`` (K, Ny, Nx) at per-cell DISPLACED
+    points (i + sx[j,i], j + sy[j,i]) with |sx|, |sy| < 1 — gather-free.
+
+    TPU-first fast path for semi-Lagrangian advection: the adaptive CFL
+    guarantees the RK4 backtrace never leaves the 3x3 neighbourhood
+    (dt * max|u| < CFL * dx, pyRMT-parity compute_timestep), so the 4
+    bilinear corners are among the 9 static shifts of the field and the
+    whole interpolation becomes shifts + selects on the VPU — no gather.
+
+    Displacements are clamped into (-1, 1); queries that would leave the
+    domain are clamped to the boundary exactly like the general
+    (gather-based) path. Semantics at interior points match
+    ``gather_bilinear_multi`` bit-for-bit in exact arithmetic.
+    """
+    K, Ny, Nx = us.shape
+    jj = jnp.arange(Ny, dtype=sx.dtype)[:, None]
+    ii = jnp.arange(Nx, dtype=sx.dtype)[None, :]
+
+    finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+    sx = jnp.where(finite, sx, 0.0)
+    sy = jnp.where(finite, sy, 0.0)
+    # clamp the absolute query into the domain, then back to a displacement
+    eps = 1e-6
+    sx = jnp.clip(sx, -1.0 + eps, 1.0 - eps)
+    sy = jnp.clip(sy, -1.0 + eps, 1.0 - eps)
+    x = jnp.clip(ii + sx, 0.0, Nx - 1.0)
+    y = jnp.clip(jj + sy, 0.0, Ny - 1.0)
+    sx = x - ii
+    sy = y - jj
+
+    # corner offset selector: left neighbour is i-1 when s < 0, else i
+    neg_x = sx < 0.0
+    neg_y = sy < 0.0
+    fx = (jnp.where(neg_x, sx + 1.0, sx)).astype(us.dtype)
+    fy = (jnp.where(neg_y, sy + 1.0, sy)).astype(us.dtype)
+    # guard the i = Nx-1, s = 0 case (ix must be <= Nx-2): treat as ix = i-1,
+    # fx = 1 which reproduces the clamped-gather result exactly
+    at_right = (ii >= Nx - 1.0) & ~neg_x
+    neg_x = neg_x | at_right
+    fx = jnp.where(at_right, 1.0, fx)
+    at_top = (jj >= Ny - 1.0) & ~neg_y
+    neg_y = neg_y | at_top
+    fy = jnp.where(at_top, 1.0, fy)
+
+    def shx(f, k):
+        return _shift_x_pad(f, k)
+
+    def shy(f, k):
+        return _shift_y_pad(f, k)
+
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+
+    # 9 static shifts per field; per-cell select of the 4 active corners
+    vals = []
+    for k in range(K):
+        f = us[k]
+        f_xm1 = shx(f, -1)
+        f_xp1 = shx(f, 1)
+        f_ym1 = shy(f, -1)
+        f_yp1 = shy(f, 1)
+        f_xm1_ym1 = shy(f_xm1, -1)
+        f_xp1_ym1 = shy(f_xp1, -1)
+        f_xm1_yp1 = shy(f_xm1, 1)
+        f_xp1_yp1 = shy(f_xp1, 1)
+
+        v00 = jnp.where(
+            neg_x, jnp.where(neg_y, f_xm1_ym1, f_xm1),
+            jnp.where(neg_y, f_ym1, f),
+        )
+        v10 = jnp.where(
+            neg_x, jnp.where(neg_y, f_ym1, f),
+            jnp.where(neg_y, f_xp1_ym1, f_xp1),
+        )
+        v01 = jnp.where(
+            neg_x, jnp.where(neg_y, f_xm1, f_xm1_yp1),
+            jnp.where(neg_y, f, f_yp1),
+        )
+        v11 = jnp.where(
+            neg_x, jnp.where(neg_y, f, f_yp1),
+            jnp.where(neg_y, f_xp1, f_xp1_yp1),
+        )
+        vals.append(w00 * v00 + w10 * v10 + w01 * v01 + w11 * v11)
+
+    out = jnp.stack(vals)
+    return jnp.where(finite[None], out, jnp.nan)
+
+
+def _shift_x_pad(f, k):
+    if k > 0:
+        return jnp.concatenate([f[:, k:], jnp.repeat(f[:, -1:], k, axis=1)], axis=1)
+    if k < 0:
+        return jnp.concatenate([jnp.repeat(f[:, 0:1], -k, axis=1), f[:, :k]], axis=1)
+    return f
+
+
+def _shift_y_pad(f, k):
+    if k > 0:
+        return jnp.concatenate([f[k:, :], jnp.repeat(f[-1:, :], k, axis=0)], axis=0)
+    if k < 0:
+        return jnp.concatenate([jnp.repeat(f[0:1, :], -k, axis=0), f[:k, :]], axis=0)
+    return f
+
+
 def cubic_convolution(v0, v1, v2, v3, t):
     """Catmull-Rom cubic along one axis (pyRMT/interpolators.py:143-154)."""
     a0 = -0.5 * v0 + 1.5 * v1 - 1.5 * v2 + 0.5 * v3

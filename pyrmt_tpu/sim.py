@@ -88,6 +88,7 @@ class RMTConfig:
     w_c_cells: float = 3.0          # contact half-width in units of dx
     CFL: float = 0.2
     dt_min_cap: float = 1e-3
+    sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -185,10 +186,19 @@ def make_step(
             # (3) advect all reference-map components; the semi-Lagrangian
             # backtrace is field-independent so all 2S components share it
             if cfg.scheme == "semilagrangian":
+                from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
+
                 qs = jnp.concatenate([X1s, X2s], axis=0)
-                qs_new = advect_reference_map_multi(
-                    qs, u, v, X, Y, dt, dx, dy, None, cfg.scheme, cfg.w_cut
-                )
+                if cfg.sl_local and cfg.CFL < 1.0:
+                    # gather-free fast path: CFL bounds the backtrace to <1
+                    # cell, so bilinear sampling is shifts+selects (VPU)
+                    qs_new = advect_semilagrangian_rk4_local(
+                        qs, u, v, dt, dx, dy
+                    )
+                else:
+                    qs_new = advect_reference_map_multi(
+                        qs, u, v, X, Y, dt, dx, dy, None, cfg.scheme, cfg.w_cut
+                    )
                 X1s_a, X2s_a = qs_new[:S], qs_new[S:]
             else:
                 X1s_a = jnp.stack([

@@ -129,3 +129,52 @@ def test_dispatcher_unknown_scheme_raises():
     q = np.zeros((N, N))
     with pytest.raises(ValueError):
         advect_reference_map(q, q, q, X, Y, 0.1, dx, dy, q, "bogus", 0.0)
+
+
+def test_local_semilagrangian_matches_gather_path():
+    """The gather-free local bilinear path must match the general gather
+    path bit-for-tolerance when the displacement is sub-cell."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.advect import (
+        advect_semilagrangian_rk4_local,
+        advect_semilagrangian_rk4_multi,
+    )
+
+    N = 65
+    X, Y, dx, dy = _setup(N)
+    rng = np.random.default_rng(7)
+    q1 = np.sin(2 * np.pi * X) * Y
+    q2 = np.cos(np.pi * Y) * X**2
+    a = 0.3 * np.sin(2 * np.pi * Y) + 0.1
+    b = -0.25 * np.cos(np.pi * X)
+    dt = 0.5 * dx  # |u| < 0.4 => displacement < 0.2 cells
+    qs = jnp.stack([jnp.asarray(q1), jnp.asarray(q2)])
+    ref = np.asarray(advect_semilagrangian_rk4_multi(
+        qs, jnp.asarray(a), jnp.asarray(b), jnp.asarray(X), jnp.asarray(Y),
+        dt, dx, dy))
+    loc = np.asarray(advect_semilagrangian_rk4_local(
+        qs, jnp.asarray(a), jnp.asarray(b), dt, dx, dy))
+    assert np.allclose(loc, ref, atol=1e-11)
+
+
+def test_local_bilinear_matches_gather_bilinear():
+    """gather_bilinear_local == gather_bilinear_multi for sub-cell
+    displacements, including at the domain boundary."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.interp import gather_bilinear_local, gather_bilinear_multi
+
+    N = 33
+    X, Y, dx, dy = _setup(N)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((N, N))
+    sx = rng.uniform(-0.95, 0.95, (N, N))
+    sy = rng.uniform(-0.95, 0.95, (N, N))
+    xq = X + sx * dx
+    yq = Y + sy * dy
+    ref = np.asarray(gather_bilinear_multi(
+        jnp.asarray(u)[None], jnp.asarray(xq), jnp.asarray(yq), dx, dy))[0]
+    loc = np.asarray(gather_bilinear_local(
+        jnp.asarray(u)[None], jnp.asarray(sx), jnp.asarray(sy)))[0]
+    assert np.allclose(loc, ref, atol=1e-12)

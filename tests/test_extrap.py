@@ -62,3 +62,35 @@ def test_extrapolation_band_growth_per_layer():
         # cells clearly beyond the band are untouched (still zero)
         far = phi > (L + 2.5) * dx
         assert np.allclose(X1e[far], 0.0)
+
+
+def test_separable_normal_equations_match_dense():
+    """The separable (two 1D passes) normal-equation correlations must equal
+    the dense 9x9 2D correlation formulation."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.extrapolate import (
+        _correlate,
+        _kernels,
+        _kernels_1d,
+        _normal_equations_separable,
+    )
+
+    N = 40
+    dx = dy = 1.0 / (N - 1)
+    rng = np.random.default_rng(5)
+    kf = (rng.uniform(size=(N, N)) > 0.5).astype(np.float64)
+    X1 = rng.standard_normal((N, N))
+    X2 = rng.standard_normal((N, N))
+
+    fields = jnp.stack([jnp.asarray(kf), jnp.asarray(kf * X1), jnp.asarray(kf * X2)])
+    dense = np.asarray(_correlate(fields, _kernels(dx, dy, jnp.float64)))
+    fx, fy = _kernels_1d(dx, dy, jnp.float64)
+    sep = np.asarray(_normal_equations_separable(
+        jnp.asarray(kf), jnp.asarray(kf * X1), jnp.asarray(kf * X2), fx, fy))
+
+    pairs = [(0, (0, 0)), (1, (0, 1)), (2, (0, 2)), (3, (0, 3)), (4, (0, 4)),
+             (5, (0, 5)), (6, (0, 6)), (7, (1, 1)), (8, (1, 2)), (9, (1, 3)),
+             (10, (2, 1)), (11, (2, 2)), (12, (2, 3))]
+    for si, (ci, ki) in pairs:
+        assert np.allclose(sep[si], dense[ci, ki], atol=1e-12), (si, ci, ki)
