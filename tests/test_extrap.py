@@ -94,3 +94,22 @@ def test_separable_normal_equations_match_dense():
              (10, (2, 1)), (11, (2, 2)), (12, (2, 3))]
     for si, (ci, ki) in pairs:
         assert np.allclose(sep[si], dense[ci, ki], atol=1e-12), (si, ci, ki)
+
+
+def test_strain_energy_matches_stress_no_lnJ():
+    """For a uniform stretch the (lnJ-free) strain-energy density equals the
+    neo-Hookean W = (mu/2)(I1 - 2) consistent with sigma = mu*b
+    (parity: reference tests/test_interp_extrap_energy.py:50-64)."""
+    from pyrmt_tpu.diagnostics import compute_strain_energy
+
+    N = 81
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    X, Y = np.asarray(X), np.asarray(Y)
+    phi = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.25
+    lam = 1.4
+    mu_s = 2.0
+    se = float(compute_strain_energy(X / lam, Y.copy(), phi, mu_s, dx, dy,
+                                     kappa=0.0))
+    solid_area = np.sum(phi <= 0) * dx * dy
+    expected = 0.5 * mu_s * (lam**2 - 1.0) * solid_area
+    assert abs(se - expected) / expected < 0.05
