@@ -102,3 +102,13 @@ compute_solid_stress = solid_cauchy_stress
 extrapolate_transverse_layers_2field = extrapolate_reference_map
 advect_semi_lagrangian_rk4 = advect_semilagrangian_rk4
 heaviside_smooth_alt = smoothed_heaviside
+velocity_rhs_blended_optimized = velocity_rhs_blended
+_precompute_poisson_eigenvalues = precompute_poisson_eigenvalues
+_precompute_poisson_eigenvalues_periodic = precompute_poisson_eigenvalues_periodic
+_solve_poisson_dct = solve_poisson_dct
+_solve_poisson_fft = solve_poisson_fft
+
+from pyrmt_tpu.ops.levelset import (  # noqa: E402
+    reinitialize_phi_fmm_equivalent as reinitialize_phi_fmm,
+)
+from pyrmt_tpu.io import output_simulation_data  # noqa: E402, F401

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 _WIN = 4  # window half-width: 9x9 window, matches the reference loops
 
 
-def _kernels_1d(dx, dy, dtype):
+def _kernels_1d(dx, dy, dtype=None):
     """Separable 1D factors of the 9x9 normal-equation kernels.
 
     The Gaussian weight factorises exactly: w(di,dj) = wx(di) * wy(dj) with
@@ -67,62 +67,69 @@ def _kernels_1d(dx, dy, dtype):
         "wyd": wy * offs,
         "wyd2": wy * offs * offs,
     }
-    to = lambda a: jnp.asarray(a, dtype=dtype)
-    return {k: to(v) for k, v in fx.items()}, {k: to(v) for k, v in fy.items()}
+    # returned as host numpy: the taps enter the graph as scalar constants
+    return fx, fy
 
 
-def _conv1d(x_channels, taps, axis):
-    """Grouped per-channel 9-tap correlation along one axis.
+def _shift_zero_x(f, k):
+    """f[j, i+k] with zero fill (the reference's window clipping at edges)."""
+    if k == 0:
+        return f
+    z = jnp.zeros_like(f[:, : abs(k)])
+    if k > 0:
+        return jnp.concatenate([f[:, k:], z], axis=1)
+    return jnp.concatenate([z, f[:, :k]], axis=1)
 
-    x_channels: (C, Ny, Nx); taps: list of C 1D kernels (length 9).
-    """
-    C = x_channels.shape[0]
-    lhs = x_channels[None]  # (1, C, Ny, Nx)
-    k = jnp.stack(taps)     # (C, 9)
-    if axis == -1:
-        rhs = k[:, None, None, :]          # (C, 1, 1, 9)
-        pad = [(0, 0), (_WIN, _WIN)]
-    else:
-        rhs = k[:, None, :, None]          # (C, 1, 9, 1)
-        pad = [(_WIN, _WIN), (0, 0)]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1, 1), padding=pad,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C,
-    )
-    return out[0]
+
+def _shift_zero_y(f, k):
+    if k == 0:
+        return f
+    z = jnp.zeros_like(f[: abs(k), :])
+    if k > 0:
+        return jnp.concatenate([f[k:, :], z], axis=0)
+    return jnp.concatenate([z, f[:k, :]], axis=0)
+
+
+def _corr1d_multi(f, taps_list, shift):
+    """Correlate one field with several 9-tap kernels along one axis as
+    constant-weighted shift-adds: all kernels share the same 9 shifted reads,
+    so XLA fuses the whole set into a couple of VPU passes — far faster than
+    a grouped conv lowering at these shapes."""
+    accs = [None] * len(taps_list)
+    for k in range(-_WIN, _WIN + 1):
+        s = shift(f, k)
+        for m, taps in enumerate(taps_list):
+            w = float(taps[k + _WIN])
+            if w == 0.0:
+                continue
+            term = s * w if w != 1.0 else s
+            accs[m] = term if accs[m] is None else accs[m] + term
+    return [a if a is not None else jnp.zeros_like(f) for a in accs]
 
 
 def _normal_equations_separable(kf, kX1, kX2, fx, fy):
-    """All 13 normal-equation correlations via two grouped 1D conv passes."""
-    # x pass: 8 channels = k x {1, wx, wxd, wxd2} + kX1 x {wx, wxd} + kX2 x {wx, wxd}
-    xs = jnp.stack([kf, kf, kf, kf, kX1, kX1, kX2, kX2])
-    xt = [fx["1"], fx["wx"], fx["wxd"], fx["wxd2"],
-          fx["wx"], fx["wxd"], fx["wx"], fx["wxd"]]
-    mid = _conv1d(xs, xt, axis=-1)
-    (k_1, k_wx, k_wxd, k_wxd2, x1_wx, x1_wxd, x2_wx, x2_wxd) = mid
+    """All 13 normal-equation correlations via two shift-add 1D passes."""
+    fxn, fyn = fx, fy
 
-    # y pass: 13 channels
-    ys = jnp.stack([
-        k_1,            # count            : ones_y
-        k_wx,           # S00              : wy
-        k_wxd,          # S01              : wy
-        k_wx,           # S02              : wyd
-        k_wxd2,         # S11              : wy
-        k_wxd,          # S12              : wyd
-        k_wx,           # S22              : wyd2
-        x1_wx,          # B1_0             : wy
-        x1_wxd,         # B1_1             : wy
-        x1_wx,          # B1_2             : wyd
-        x2_wx,          # B2_0             : wy
-        x2_wxd,         # B2_1             : wy
-        x2_wx,          # B2_2             : wyd
-    ])
-    yt = [fy["1"], fy["wy"], fy["wy"], fy["wyd"], fy["wy"], fy["wyd"],
-          fy["wyd2"], fy["wy"], fy["wy"], fy["wyd"], fy["wy"], fy["wy"],
-          fy["wyd"]]
-    out = _conv1d(ys, yt, axis=-2)
-    return out
+    # x pass: k x {1, wx, wxd, wxd2}; kX1 x {wx, wxd}; kX2 x {wx, wxd}
+    k_1, k_wx, k_wxd, k_wxd2 = _corr1d_multi(
+        kf, [fxn["1"], fxn["wx"], fxn["wxd"], fxn["wxd2"]], _shift_zero_x)
+    x1_wx, x1_wxd = _corr1d_multi(kX1, [fxn["wx"], fxn["wxd"]], _shift_zero_x)
+    x2_wx, x2_wxd = _corr1d_multi(kX2, [fxn["wx"], fxn["wxd"]], _shift_zero_x)
+
+    # y pass: each intermediate with the y-factors it feeds
+    count = _corr1d_multi(k_1, [fyn["1"]], _shift_zero_y)[0]
+    s00, s02, s22 = _corr1d_multi(
+        k_wx, [fyn["wy"], fyn["wyd"], fyn["wyd2"]], _shift_zero_y)
+    s01, s12 = _corr1d_multi(k_wxd, [fyn["wy"], fyn["wyd"]], _shift_zero_y)
+    s11 = _corr1d_multi(k_wxd2, [fyn["wy"]], _shift_zero_y)[0]
+    b1_0, b1_2 = _corr1d_multi(x1_wx, [fyn["wy"], fyn["wyd"]], _shift_zero_y)
+    b1_1 = _corr1d_multi(x1_wxd, [fyn["wy"]], _shift_zero_y)[0]
+    b2_0, b2_2 = _corr1d_multi(x2_wx, [fyn["wy"], fyn["wyd"]], _shift_zero_y)
+    b2_1 = _corr1d_multi(x2_wxd, [fyn["wy"]], _shift_zero_y)[0]
+
+    return jnp.stack([count, s00, s01, s02, s11, s12, s22,
+                      b1_0, b1_1, b1_2, b2_0, b2_1, b2_2])
 
 
 def _kernels(dx, dy, dtype):

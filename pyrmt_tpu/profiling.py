@@ -91,7 +91,13 @@ def stage_breakdown(N=128, dtype=None, iters=20, verbose=True):
     adv = jax.jit(lambda qs, u, v: advect_semilagrangian_rk4_multi(
         qs, u, v, X, Y, dt, dx, dy))
     qs = jnp.concatenate([state.X1, state.X2], axis=0)
-    results["advection_x2"] = _time_fn(adv, (qs, state.u, state.v), iters)
+    results["advection_gather"] = _time_fn(adv, (qs, state.u, state.v), iters)
+
+    from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
+
+    adv_l = jax.jit(lambda qs, u, v: advect_semilagrangian_rk4_local(
+        qs, u, v, dt, dx, dy))
+    results["advection_local"] = _time_fn(adv_l, (qs, state.u, state.v), iters)
 
     ext = jax.jit(lambda x1, x2, ph: extrapolate_reference_map(
         x1, x2, ph, dx, dy, cfg.num_layers))
