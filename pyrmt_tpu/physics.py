@@ -102,6 +102,7 @@ def momentum_step_rk4_multi(
     u, v, p, X1s, X2s, phis, velocity_bc, *,
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
+    use_pallas_rhs=False,
 ):
     """Generic n-solid RK4 momentum step.
 
@@ -166,6 +167,13 @@ def momentum_step_rk4_multi(
                 sxx = sxx + m * kv_xx
                 syy = syy + m * kv_yy
                 sxy = sxy + m * kv_xy
+        if use_pallas_rhs:
+            from pyrmt_tpu.kernels.momentum_rhs import velocity_rhs_blended_pallas
+
+            return velocity_rhs_blended_pallas(
+                u_stage, v_stage, p, sxx, sxy, syy, dx, dy, mu_f, Hf,
+                rho_local, f_ext_x, f_ext_y,
+            )
         return velocity_rhs_blended(
             u_stage, v_stage, p, sxx, sxy, syy, dx, dy, mu_f, Hf, rho_local,
             f_ext_x, f_ext_y,

@@ -89,6 +89,7 @@ class RMTConfig:
     CFL: float = 0.2
     dt_min_cap: float = 1e-3
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
+    use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -239,6 +240,7 @@ def make_step(
             dt=dt, rho_s=cfg.rho_s, rho_f=cfg.rho_f, mu_f=cfg.mu_f,
             w_t=cfg.w_t, gamma=cfg.gamma, stress_w_cut=stress_w_cut,
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
+            use_pallas_rhs=cfg.use_pallas_rhs,
         )
 
         # (6) projection with the mixture density

@@ -1,0 +1,64 @@
+"""Pallas fused momentum RHS: exact parity with the XLA path.
+
+Runs in interpreter mode on the CPU backend (the same kernel compiles for
+TPU; parity on real hardware is exercised by bench/profiling runs).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pyrmt_tpu.grid import create_grid
+from pyrmt_tpu.kernels.momentum_rhs import velocity_rhs_blended_pallas
+from pyrmt_tpu.physics import velocity_rhs_blended
+
+
+def _fields(N, seed=0):
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    X, Y = np.asarray(X), np.asarray(Y)
+    rng = np.random.default_rng(seed)
+    u = 0.1 * np.sin(2 * np.pi * X) * np.cos(np.pi * Y)
+    v = 0.1 * np.cos(np.pi * X) * Y
+    p = 0.05 * np.cos(np.pi * X) * np.cos(np.pi * Y)
+    phi = np.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.25
+    H = 0.5 * (1 + np.tanh(phi / (4 * dx)))
+    sxx = (1 - H) * (1.0 + 0.1 * np.sin(3 * X))
+    sxy = (1 - H) * 0.05 * np.cos(2 * Y)
+    syy = (1 - H) * (1.0 - 0.1 * X * Y)
+    rho = 1.0 + 0.2 * H
+    fx = 0.01 * rng.standard_normal((N, N))
+    fy = 0.01 * rng.standard_normal((N, N))
+    return dx, dy, u, v, p, sxx, sxy, syy, H, rho, fx, fy
+
+
+@pytest.mark.parametrize("N", [64, 96])
+def test_pallas_rhs_matches_xla_path(N):
+    dx, dy, u, v, p, sxx, sxy, syy, H, rho, fx, fy = _fields(N)
+    mu_f = 0.01
+    ru_ref, rv_ref = velocity_rhs_blended(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(p), jnp.asarray(sxx),
+        jnp.asarray(sxy), jnp.asarray(syy), dx, dy, mu_f, jnp.asarray(H),
+        jnp.asarray(rho), jnp.asarray(fx), jnp.asarray(fy))
+    ru, rv = velocity_rhs_blended_pallas(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(p), jnp.asarray(sxx),
+        jnp.asarray(sxy), jnp.asarray(syy), dx, dy, mu_f, jnp.asarray(H),
+        jnp.asarray(rho), jnp.asarray(fx), jnp.asarray(fy),
+        tile=32, interpret=True)
+    assert np.allclose(np.asarray(ru), np.asarray(ru_ref), atol=1e-12)
+    assert np.allclose(np.asarray(rv), np.asarray(rv_ref), atol=1e-12)
+
+
+def test_pallas_rhs_odd_grid_falls_back():
+    """Odd grids (no row tiling) transparently use the XLA path."""
+    N = 65
+    dx, dy, u, v, p, sxx, sxy, syy, H, rho, fx, fy = _fields(N)
+    ru, rv = velocity_rhs_blended_pallas(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(p), jnp.asarray(sxx),
+        jnp.asarray(sxy), jnp.asarray(syy), dx, dy, 0.01, jnp.asarray(H),
+        jnp.asarray(rho), jnp.asarray(fx), jnp.asarray(fy), interpret=True)
+    ru_ref, rv_ref = velocity_rhs_blended(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(p), jnp.asarray(sxx),
+        jnp.asarray(sxy), jnp.asarray(syy), dx, dy, 0.01, jnp.asarray(H),
+        jnp.asarray(rho), jnp.asarray(fx), jnp.asarray(fy))
+    assert np.allclose(np.asarray(ru), np.asarray(ru_ref), atol=0)
+    assert np.allclose(np.asarray(rv), np.asarray(rv_ref), atol=0)
