@@ -82,7 +82,9 @@ def run(N=128, scheme="semilagrangian", t_end=1.0, out_root="outputs",
         ys_mask = (phi <= 0)
         ys = jnp.where(ys_mask, Y, jnp.nan)
         ry = 0.5 * (jnp.nanmax(ys) - jnp.nanmin(ys))
-        return s2, aux, (ke, se, diss, dint, ry)
+        stats = jnp.stack([ke, se, diss, dint, ry, jnp.min(aux["J"]),
+                           s2.t.astype(ke.dtype)])
+        return s2, stats
 
     if verbose:
         print(f"[disc-in-TG] N={N} scheme={scheme} dtype={dtype}")
@@ -91,14 +93,14 @@ def run(N=128, scheme="semilagrangian", t_end=1.0, out_root="outputs",
     nsteps = 0
     t_wall = time.perf_counter()
     while float(state.t) < t_end:
-        state, aux, (ke, se, diss, dint, ry) = chunk(state)
+        state, stats = chunk(state)
         nsteps += log_every
-        integ += float(dint)
-        t = float(state.t)
-        row = dict(t=t, ke=float(ke), se=float(se), dissipation=float(diss),
+        ke, se, diss, dint, ry, minJ, t = map(float, np.asarray(stats))
+        integ += dint
+        row = dict(t=t, ke=ke, se=se, dissipation=diss,
                    integrated_dissipation=integ,
-                   total_energy=float(ke) + float(se) + integ,
-                   radius_y=float(ry), minJ=float(aux["J"].min()))
+                   total_energy=ke + se + integ,
+                   radius_y=ry, minJ=minJ)
         log.log(**row)
         if verbose:
             print(f"  step {nsteps:5d} t={t:5.3f} KE={row['ke']:.4e} "

@@ -70,7 +70,11 @@ def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
         ke = compute_kinetic_energy(
             s2.u, s2.v, cfg.rho_f, cfg.rho_s, aux["phis"][0], cfg.w_t, g.dx, g.dy
         )
-        return s2, aux, (cx, cy, ke)
+        # one stacked scalar bundle -> ONE host transfer per chunk (the
+        # device tunnel has high per-transfer latency)
+        stats = jnp.stack([cx, cy, ke, jnp.min(aux["J"]), jnp.max(aux["J"]),
+                           s2.t.astype(ke.dtype)])
+        return s2, aux, stats
 
     if verbose:
         print(f"[soft-disc-lid] N={N} scheme={scheme} dtype={dtype} t_end={t_end}")
@@ -78,15 +82,13 @@ def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
     t_wall = time.perf_counter()
     nsteps = 0
     while float(state.t) < t_end:
-        state, aux, (cx, cy, ke) = chunk(state)
+        state, aux, stats = chunk(state)
         nsteps += log_every
-        t = float(state.t)
-        log.log(t=t, cx=float(cx), cy=float(cy), ke=float(ke),
-                minJ=float(aux["J"].min()), maxJ=float(aux["J"].max()))
+        cx, cy, ke, minJ, maxJ, t = map(float, np.asarray(stats))
+        log.log(t=t, cx=cx, cy=cy, ke=ke, minJ=minJ, maxJ=maxJ)
         if verbose:
-            print(f"  step {nsteps:6d} t={t:6.3f} centroid=({float(cx):.4f},"
-                  f"{float(cy):.4f}) KE={float(ke):.3e} "
-                  f"minJ={float(aux['J'].min()):.3f}")
+            print(f"  step {nsteps:6d} t={t:6.3f} centroid=({cx:.4f},"
+                  f"{cy:.4f}) KE={ke:.3e} minJ={minJ:.3f}")
         while snap_idx < len(snap_targets) and t >= snap_targets[snap_idx]:
             tt = snap_targets[snap_idx]
             save_snapshot(

@@ -65,7 +65,10 @@ def run(N=128, t_end=2.0, V0=0.15, k_rep=2.0, out_root="outputs",
         (s2, aux), _ = jax.lax.scan(body, (s1, aux1), None, length=log_every - 1)
         cxa, cya = disc_centroid(aux["phis"][0], X, Y)
         cxb, cyb = disc_centroid(aux["phis"][1], X, Y)
-        return s2, aux, (cxa, cxb, jnp.min(aux["J"]))
+        umax = jnp.max(jnp.hypot(s2.u, s2.v))
+        stats = jnp.stack([cxa, cxb, jnp.min(aux["J"]), umax,
+                           s2.t.astype(umax.dtype)])
+        return s2, stats
 
     if verbose:
         print(f"[contact] N={N} R={R} V0={V0} k_rep={k_rep} t_end={t_end}")
@@ -73,15 +76,14 @@ def run(N=128, t_end=2.0, V0=0.15, k_rep=2.0, out_root="outputs",
     t_wall = time.perf_counter()
     nsteps = 0
     while float(state.t) < t_end:
-        state, aux, (cxa, cxb, Jmin) = chunk(state)
+        state, stats = chunk(state)
         nsteps += log_every
-        t = float(state.t)
-        gap = float(cxb) - float(cxa)
-        log.log(t=t, cxa=float(cxa), cxb=float(cxb), gap=gap, minJ=float(Jmin))
+        cxa, cxb, Jmin, umax, t = map(float, np.asarray(stats))
+        gap = cxb - cxa
+        log.log(t=t, cxa=cxa, cxb=cxb, gap=gap, minJ=Jmin)
         if verbose:
-            umax = float(jnp.max(jnp.hypot(state.u, state.v)))
-            print(f"  step {nsteps:5d} t={t:5.3f} cxa={float(cxa):.3f} "
-                  f"cxb={float(cxb):.3f} gap={gap:.3f} minJ={float(Jmin):.3f} "
+            print(f"  step {nsteps:5d} t={t:5.3f} cxa={cxa:.3f} "
+                  f"cxb={cxb:.3f} gap={gap:.3f} minJ={Jmin:.3f} "
                   f"max|u|={umax:.3f}")
         if bool(diverged(state)):
             print("  [diverged]")

@@ -62,7 +62,10 @@ def run(N=128, t_end=2.0, U0=0.12, k_rep=3.0, out_root="outputs",
         (s2, aux), _ = jax.lax.scan(body, (s1, aux1), None, length=log_every - 1)
         cxa, cya = disc_centroid(aux["phis"][0], X, Y)
         cxb, cyb = disc_centroid(aux["phis"][1], X, Y)
-        return s2, aux, (cya, cyb, jnp.min(aux["J"]))
+        umax = jnp.max(jnp.hypot(s2.u, s2.v))
+        stats = jnp.stack([cya, cyb, jnp.min(aux["J"]), umax,
+                           s2.t.astype(umax.dtype)])
+        return s2, stats
 
     if verbose:
         print(f"[tg-contact] N={N} R={R} U0={U0} k_rep={k_rep} t_end={t_end}")
@@ -71,15 +74,14 @@ def run(N=128, t_end=2.0, U0=0.12, k_rep=3.0, out_root="outputs",
     nsteps = 0
     was_diverged = False
     while float(state.t) < t_end:
-        state, aux, (cya, cyb, Jmin) = chunk(state)
+        state, stats = chunk(state)
         nsteps += log_every
-        t = float(state.t)
-        gap = float(cyb) - float(cya)
-        log.log(t=t, cya=float(cya), cyb=float(cyb), gap=gap, minJ=float(Jmin))
+        cya, cyb, Jmin, umax, t = map(float, np.asarray(stats))
+        gap = cyb - cya
+        log.log(t=t, cya=cya, cyb=cyb, gap=gap, minJ=Jmin)
         if verbose:
-            umax = float(jnp.max(jnp.hypot(state.u, state.v)))
-            print(f"  step {nsteps:5d} t={t:5.3f} cya={float(cya):.3f} "
-                  f"cyb={float(cyb):.3f} gap={gap:.3f} minJ={float(Jmin):.3f} "
+            print(f"  step {nsteps:5d} t={t:5.3f} cya={cya:.3f} "
+                  f"cyb={cyb:.3f} gap={gap:.3f} minJ={Jmin:.3f} "
                   f"max|u|={umax:.3f}")
         if bool(diverged(state)):
             print(f"  [diverged at step {nsteps}, t={t:.3f}] (graceful)")

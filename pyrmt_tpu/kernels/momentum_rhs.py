@@ -167,7 +167,7 @@ def _make_kernel(dx, dy, mu_f, Ny, tile):
 )
 def velocity_rhs_blended_pallas(
     u, v, p, sig_sxx, sig_sxy, sig_syy, dx, dy, mu_f, Hf, rho_local,
-    f_ext_x, f_ext_y, tile=128, interpret=False,
+    f_ext_x, f_ext_y, tile=32, interpret=False,
 ):
     """Drop-in fused replacement for physics.velocity_rhs_blended.
 
