@@ -170,6 +170,12 @@ def make_step(
             cfg.gamma, cfg.rho_f, mu_f=cfg.mu_f, eta_s=cfg.eta_s, kappa=cfg.kappa,
         )
         dt = jnp.minimum(dt, jnp.maximum(t_end - state.t, 0.0)).astype(dtype)
+        # Once t reaches t_end the clipped dt is 0 and the projection's
+        # rho*div/dt would produce NaNs; run the step with a safe dt and
+        # freeze the state afterwards, so scanned chunks can overrun t_end
+        # as no-ops (the reference's while-loop never steps past t_end).
+        active = dt > 0.0
+        dt = jnp.where(active, dt, jnp.asarray(1.0, dtype))
 
         if S > 0:
             # (2) compatibility rebuild (+ optional reinitialisation)
@@ -227,6 +233,11 @@ def make_step(
             ]
             X1s = jnp.stack([e[0] for e in ext])
             X2s = jnp.stack([e[1] for e in ext])
+            # freeze the maps on no-op (dt clamped to 0) steps so every
+            # downstream quantity (stress, J, phi, density) reflects the
+            # unchanged state
+            X1s = jnp.where(active, X1s, state.X1)
+            X2s = jnp.where(active, X2s, state.X2)
 
             # (4) rebuild phi from the advected map
             phis = rebuild_phis(X1s, X2s)
@@ -258,12 +269,15 @@ def make_step(
             cg_maxiter=cfg.cg_maxiter,
         )
 
+        frz = lambda new, old: jnp.where(active, new, old)
         new_state = SimState(
-            u=u_new, v=v_new, p=p_new, X1=X1s, X2=X2s,
-            t=state.t + dt, step=state.step + 1,
+            u=frz(u_new, state.u), v=frz(v_new, state.v),
+            p=frz(p_new, state.p), X1=X1s, X2=X2s,
+            t=state.t + jnp.where(active, dt, 0.0).astype(dtype),
+            step=state.step + jnp.where(active, 1, 0).astype(jnp.int32),
         )
         aux = {
-            "dt": dt,
+            "dt": jnp.where(active, dt, 0.0).astype(dtype),
             "phis": phis,
             "J": J_s,
             "sxx": sxx_s,

@@ -117,3 +117,68 @@ def test_snapshot_roundtrip(tmp_path):
     fields, attrs = load_snapshot(path)
     assert np.array_equal(fields["a"], f["a"])
     assert abs(attrs["time"] - 1.5) < 1e-15
+
+
+def test_variable_density_fsi_step():
+    """rho_s != rho_f exercises the matrix-free CG projection inside the
+    full FSI step (static variable_rho dispatch)."""
+    g = Grid(Nx=49, Ny=49, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, mu_f=0.01, rho_f=1.0, rho_s=2.0,
+                    variable_rho=True, CFL=0.2, dt_min_cap=1e-3,
+                    cg_tol=1e-8, cg_maxiter=100)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    for _ in range(3):
+        state, aux = step(state, jnp.asarray(10.0))
+    assert not bool(diverged(state))
+    # mixture density spans [rho_f, rho_s]
+    rho = np.asarray(aux["rho_local"])
+    assert rho.min() > 0.99 and rho.max() > 1.5
+
+
+def test_weno5_fsi_step_runs():
+    """The Eulerian WENO5 advection path works inside the full step."""
+    g = Grid(Nx=49, Ny=49, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, mu_f=0.01, scheme="weno5", w_cut=0.0,
+                    CFL=0.2, dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    for _ in range(3):
+        state, aux = step(state, jnp.asarray(10.0))
+    assert not bool(diverged(state))
+
+
+def test_periodic_fsi_step_runs():
+    """bc_type='periodic' uses the FFT projection inside the full step."""
+    from pyrmt_tpu.bcs import periodic_bc
+
+    g = Grid(Nx=48, Ny=48, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, mu_f=0.01, bc_type="periodic",
+                    CFL=0.2, dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.5, 0.15)
+    step = make_step(cfg, periodic_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    for _ in range(3):
+        state, aux = step(state, jnp.asarray(10.0))
+    assert not bool(diverged(state))
+
+
+def test_steps_past_t_end_are_noops_not_nans():
+    """Scanned chunks may overrun t_end; overrun steps must freeze the state
+    (found live: the projection divided by the clamped dt=0 -> NaN)."""
+    g = Grid(Nx=33, Ny=33, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, mu_f=0.01, CFL=0.2, dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    t_end = jnp.asarray(2.5e-3)
+    for _ in range(6):  # overruns t_end after 3 steps
+        state, aux = step(state, t_end)
+    assert not bool(diverged(state))
+    assert abs(float(state.t) - 2.5e-3) < 1e-15
+    assert int(state.step) == 3
+    assert float(aux["dt"]) == 0.0
+    assert np.all(np.isfinite(np.asarray(aux["phis"])))
+    assert np.all(np.isfinite(np.asarray(aux["J"])))
