@@ -18,10 +18,12 @@ import sys
 import time
 
 
-def main(N=1024, n_steps=50):
+def main(N=1024, n_steps=50, use_pallas=False):
     import pyrmt_tpu.runtime as rt
 
     rt.setup()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -30,6 +32,8 @@ def main(N=1024, n_steps=50):
     from __graft_entry__ import _flagship
 
     cfg, bc, phi_inits = _flagship(N, jnp.float32)
+    if use_pallas:
+        cfg = dataclasses.replace(cfg, use_pallas_rhs=True)
     step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
     state = make_init_state(cfg, phi_inits, dtype=jnp.float32)
     t_end = jnp.asarray(1e9, jnp.float32)
@@ -61,6 +65,8 @@ def main(N=1024, n_steps=50):
 
 
 if __name__ == "__main__":
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    main(N=N, n_steps=n_steps)
+    use_pallas = "--pallas" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    N = int(args[0]) if len(args) > 0 else 1024
+    n_steps = int(args[1]) if len(args) > 1 else 50
+    main(N=N, n_steps=n_steps, use_pallas=use_pallas)

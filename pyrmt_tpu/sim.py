@@ -27,8 +27,7 @@ velocity (pyRMT/functions.py:460-465); under jit nothing can segfault, so
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from pyrmt_tpu.bcs import free_slip_box_bc
 from pyrmt_tpu.grid import Grid
-from pyrmt_tpu.parallel import make_mesh, make_sharded_step, shard_state
+from pyrmt_tpu.parallel import make_mesh, make_sharded_step
 from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
 
 
