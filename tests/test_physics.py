@@ -119,3 +119,44 @@ def test_kelvin_voigt_damps_shear():
                                    kw["rho_s"], kw["rho_f"], kw["phi"],
                                    kw["mu_f"], kw["w_t"])
     assert not np.allclose(np.asarray(u0), np.asarray(u1))
+
+
+def test_three_solid_momentum_step_generalizes():
+    """The n-solid mixture is generic: three discs produce finite fields and
+    the mixture density reduces correctly (Hf = sum H_i - (S-1))."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.stress import smoothed_heaviside
+    from pyrmt_tpu.physics import momentum_step_rk4_multi
+
+    N = 48
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    centers = [(0.3, 0.3), (0.7, 0.3), (0.5, 0.7)]
+    R = 0.12
+    phis, X1s, X2s = [], [], []
+    for (cx, cy) in centers:
+        ph = _disc(Xn, Yn, cx, cy, R)
+        m = (ph <= 0).astype(float)
+        x1, x2 = extrapolate_reference_map(Xn * m, Yn * m, ph, dx, dy, 3)
+        phis.append(ph); X1s.append(np.asarray(x1)); X2s.append(np.asarray(x2))
+    phis, X1s, X2s = map(lambda a: jnp.asarray(np.stack(a)), (phis, X1s, X2s))
+    u = jnp.zeros((N, N)); v = jnp.zeros((N, N)); p = jnp.zeros((N, N))
+    un, vn, sxx, sxy, syy, J = momentum_step_rk4_multi(
+        u, v, p, X1s, X2s, phis, lambda a, b: (a, b),
+        mu_s=1.0, kappa=0.0, eta_s=0.0, dx=dx, dy=dy, dt=1e-3,
+        rho_s=2.0, rho_f=1.0, mu_f=0.01, w_t=2 * dx,
+        stress_clamp=4.0, k_rep=2.0, w_c=3 * dx)
+    assert np.all(np.isfinite(np.asarray(un)))
+    assert np.all(np.isfinite(np.asarray(vn)))
+    assert J.shape[0] == 3
+    # mixture density: rho_f far from all solids, rho_s inside a solid
+    H = smoothed_heaviside(phis, 2 * dx)
+    Hf = jnp.sum(H, axis=0) - 2.0
+    rho = Hf * 1.0 + jnp.sum(1.0 - H, axis=0) * 2.0
+    rho = np.asarray(rho)
+    far = np.all(np.asarray(phis) > 4 * dx, axis=0)
+    assert np.allclose(rho[far], 1.0, atol=1e-12)
+    inside0 = np.asarray(phis[0]) < -4 * dx
+    assert np.allclose(rho[inside0], 2.0, atol=1e-12)
