@@ -57,6 +57,54 @@ def idct1_2d(x):
     return idct1(idct1(x, axis=-1), axis=-2)
 
 
+# ── DCT-I as an MXU matmul ───────────────────────────────────────────────────
+#
+# XLA's TPU FFT path is far from the roofline at these sizes (the 2(N-1)
+# even-extension length is usually not a power of two), while a dense
+# transform matrix turns each 1D DCT-I pass into one (N, N) x (N, N) matmul
+# on the MXU — the TPU-native way to do a small fixed transform. At N=1024
+# one Neumann solve is 4 matmuls ≈ 8.6 GFLOP, ~0.3 ms on one v5e chip vs
+# ~3 ms for the FFT lowering. Matmuls run at HIGHEST precision so the f32
+# result matches the FFT path to roundoff.
+
+
+def dct1_matrix(N, dtype=jnp.float32):
+    """Dense unnormalised DCT-I matrix: (C @ x)[k] == dct1(x)[k].
+
+    C[k, n] = w_n cos(pi k n / (N-1)), w_0 = w_{N-1} = 1, else 2 — the same
+    transform as ``dct1`` (scipy dctn type=1 convention)."""
+    import numpy as np
+
+    k = np.arange(N)[:, None]
+    n = np.arange(N)[None, :]
+    C = np.cos(np.pi * k * n / (N - 1))
+    w = np.full(N, 2.0)
+    w[0] = 1.0
+    w[-1] = 1.0
+    return jnp.asarray(C * w[None, :], dtype=dtype)
+
+
+def precompute_dct_matrices(Nx, Ny, dtype=jnp.float32):
+    """(Cy, Cx) transform matrices for the matmul DCT-I path."""
+    return dct1_matrix(Ny, dtype), dct1_matrix(Nx, dtype)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def dct1_2d_matmul(x, mats):
+    """2D unnormalised DCT-I via two MXU matmuls: Cy @ x @ Cx^T."""
+    Cy, Cx = mats
+    return _mm(_mm(Cy.astype(x.dtype), x), Cx.astype(x.dtype).T)
+
+
+def idct1_2d_matmul(x, mats):
+    Cy, Cx = mats
+    scale = 1.0 / (2.0 * (Cy.shape[0] - 1) * 2.0 * (Cx.shape[0] - 1))
+    return dct1_2d_matmul(x, mats) * jnp.asarray(scale, x.dtype)
+
+
 def build_poisson_matrix(Nx, Ny, dx, dy):
     """Explicit sparse 5-point Neumann Laplacian with ghost mirroring
     p[-1]=p[1], p[N]=p[N-2] (parity: pyRMT/functions.py:870-924).
@@ -106,16 +154,24 @@ def precompute_poisson_eigenvalues(Nx, Ny, dx, dy, dtype=jnp.float64):
     return jnp.asarray(eig, dtype=dtype)
 
 
-def solve_poisson_dct(rhs_2d, eigenvalues):
-    """Direct O(N log N) Neumann Poisson solve (pyRMT/functions.py:1028-1040).
+def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None):
+    """Direct Neumann Poisson solve (pyRMT/functions.py:1028-1040).
 
     DCT-I diagonalises the asymmetric ghost-mirror matrix exactly; the
     transforms are unnormalised on purpose (a normalised/'ortho' pair changes
     the transform matrix and breaks the diagonalisation).
+
+    ``dct_mats=(Cy, Cx)`` switches the transforms from the rFFT lowering to
+    MXU matmuls (same transform; see ``precompute_dct_matrices``).
     """
-    rhs_hat = dct1_2d(rhs_2d)
-    p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)
-    p = idct1_2d(p_hat)
+    if dct_mats is not None:
+        rhs_hat = dct1_2d_matmul(rhs_2d, dct_mats)
+        p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)
+        p = idct1_2d_matmul(p_hat, dct_mats)
+    else:
+        rhs_hat = dct1_2d(rhs_2d)
+        p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)
+        p = idct1_2d(p_hat)
     return p - jnp.mean(p)
 
 
@@ -309,7 +365,7 @@ def apply_variable_poisson(p, inv_rho, dx, dy):
 
 @partial(jax.jit, static_argnames=("dx", "dy", "tol", "maxiter"))
 def solve_variable_poisson_cg(
-    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200
+    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None
 ):
     """Matrix-free CG for the variable-density Poisson problem, preconditioned
     by the constant-coefficient DCT direct solve (the reference's own fast
@@ -319,7 +375,7 @@ def solve_variable_poisson_cg(
         return apply_variable_poisson(p, inv_rho, dx, dy)
 
     def precond(r):
-        return solve_poisson_dct(r, eigenvalues)
+        return solve_poisson_dct(r, eigenvalues, dct_mats=dct_mats)
 
     rhs = rhs - jnp.mean(rhs)
     p, _ = jax.scipy.sparse.linalg.cg(

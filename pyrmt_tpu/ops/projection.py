@@ -46,12 +46,15 @@ def pressure_projection(
     variable_rho=False,
     cg_tol=1e-6,
     cg_maxiter=200,
+    dct_mats=None,
 ):
     """Project (a*, b*) onto a (discretely) divergence-free field.
 
     Parameters mirror the reference; ``variable_rho`` is the static
     replacement for the runtime ``np.ptp(rho) > 1e-10`` probe. ``rho`` may be
-    a scalar or an (Ny, Nx) array in either mode. Returns (a, b, p).
+    a scalar or an (Ny, Nx) array in either mode. ``dct_mats`` (optional)
+    routes the Neumann DCT solves through MXU matmuls instead of the FFT
+    lowering. Returns (a, b, p).
     """
     rho = jnp.asarray(rho, dtype=a_star.dtype)
 
@@ -85,11 +88,12 @@ def pressure_projection(
         rhs = divU / dt
         inv_rho = 1.0 / rho
         p_correction = solve_variable_poisson_cg(
-            rhs, inv_rho, eigenvalues, dx, dy, tol=cg_tol, maxiter=cg_maxiter
+            rhs, inv_rho, eigenvalues, dx, dy, tol=cg_tol, maxiter=cg_maxiter,
+            dct_mats=dct_mats,
         )
     else:
         rhs_2d = rho * divU / dt
-        p_correction = solve_poisson_dct(rhs_2d, eigenvalues)
+        p_correction = solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=dct_mats)
 
     dpdx, dpdy = compute_pressure_gradient(p_correction, dx, dy)
     a = a_star - (dt / rho) * dpdx

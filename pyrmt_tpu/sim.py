@@ -89,6 +89,7 @@ class RMTConfig:
     dt_min_cap: float = 1e-3
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
+    dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -100,6 +101,27 @@ class RMTConfig:
     @property
     def w_c(self) -> float:
         return self.w_c_cells * self.grid.dx
+
+
+def _resolve_dct_mats(method: str, Nx: int, Ny: int, dtype):
+    """Trace-time choice of the Neumann DCT lowering.
+
+    'matmul' runs the DCT-I as dense MXU matmuls (fastest on TPU: the
+    2(N-1)-length FFT lowering is far off the roofline); 'fft' keeps the
+    rFFT-of-even-extension path (fastest on CPU and the reference-parity
+    formulation); 'auto' picks matmul exactly when running on TPU.
+    """
+    if method == "auto":
+        import jax
+
+        method = "matmul" if jax.default_backend() == "tpu" else "fft"
+    if method == "matmul":
+        from pyrmt_tpu.ops.poisson import precompute_dct_matrices
+
+        return precompute_dct_matrices(Nx, Ny, dtype=dtype)
+    if method != "fft":
+        raise ValueError(f"unknown dct_method {method!r}")
+    return None
 
 
 def required_extrapolation_layers(w_t, dx):
@@ -142,8 +164,10 @@ def make_step(
 
     if cfg.bc_type == "periodic":
         eig = precompute_poisson_eigenvalues_periodic(g.Nx, g.Ny, dx, dy, dtype=dtype)
+        dct_mats = None
     else:
         eig = precompute_poisson_eigenvalues(g.Nx, g.Ny, dx, dy, dtype=dtype)
+        dct_mats = _resolve_dct_mats(cfg.dct_method, g.Nx, g.Ny, dtype)
 
     # stress mode: single solid follows stress_band; multi-solid uses the
     # legacy interior stress with the collision clamp (reference behaviour)
@@ -265,7 +289,7 @@ def make_step(
             u_star, v_star, dx, dy, dt, rho_local, velocity_bc,
             p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
             variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
-            cg_maxiter=cfg.cg_maxiter,
+            cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
         )
 
         frz = lambda new, old: jnp.where(active, new, old)

@@ -182,3 +182,60 @@ def test_dct_eigenvalues_diagonalize_explicit_matrix():
     rhs = eig * np.asarray(dct1_2d(p))
     # skip the pinned (0,0) mode
     assert np.allclose(lhs.ravel()[1:], rhs.ravel()[1:], atol=1e-7)
+
+
+def test_dct_matmul_path_matches_fft_path():
+    """The MXU-matmul DCT-I lowering is the SAME transform as the rFFT one:
+    transforms match to roundoff and the Neumann solve is identical."""
+    from pyrmt_tpu.ops.poisson import (
+        dct1_2d_matmul,
+        idct1_2d_matmul,
+        precompute_dct_matrices,
+    )
+
+    rng = np.random.default_rng(7)
+    Ny, Nx = 33, 49
+    x = rng.standard_normal((Ny, Nx))
+    mats = precompute_dct_matrices(Nx, Ny, dtype=np.float64)
+    assert np.allclose(np.asarray(dct1_2d_matmul(x, mats)),
+                       np.asarray(dct1_2d(x)), atol=1e-9)
+    assert np.allclose(np.asarray(idct1_2d_matmul(x, mats)),
+                       np.asarray(idct1_2d(x)), atol=1e-12)
+
+    dx = 1.0 / (Nx - 1)
+    dy = 1.0 / (Ny - 1)
+    eig = precompute_poisson_eigenvalues(Nx, Ny, dx, dy)
+    rhs = rng.standard_normal((Ny, Nx))
+    p_fft = np.asarray(solve_poisson_dct(rhs, eig))
+    p_mm = np.asarray(solve_poisson_dct(rhs, eig, dct_mats=mats))
+    assert np.allclose(p_mm, p_fft, atol=1e-9)
+
+
+def test_sim_step_dct_method_matmul_matches_fft():
+    """One full FSI step with dct_method='matmul' equals 'fft' to roundoff."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    g = Grid(Nx=33, Ny=33, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    num_layers=3, CFL=0.2, dt_min_cap=1e-3, dct_method="fft")
+    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2,)
+    bc = make_lid_bc(1.0)
+    state = make_init_state(cfg, phi_inits, dtype=jnp.float64)
+    t_end = jnp.asarray(1.0, jnp.float64)
+
+    s_fft = state
+    step_fft = make_step(cfg, bc, phi_inits, dtype=jnp.float64)
+    step_mm = make_step(dataclasses.replace(cfg, dct_method="matmul"),
+                        bc, phi_inits, dtype=jnp.float64)
+    s_mm = state
+    for _ in range(3):
+        s_fft, _ = step_fft(s_fft, t_end)
+        s_mm, _ = step_mm(s_mm, t_end)
+    assert np.allclose(np.asarray(s_mm.u), np.asarray(s_fft.u), atol=1e-11)
+    assert np.allclose(np.asarray(s_mm.p), np.asarray(s_fft.p), atol=1e-10)
