@@ -90,6 +90,7 @@ class RMTConfig:
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
+    extrap_method: str = "auto"     # 'xla' | 'pallas' | 'auto' (pallas on TPU)
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -178,6 +179,20 @@ def make_step(
         stress_w_cut = cfg.w_t if cfg.stress_band else 0.0
         stress_clamp = cfg.detg_clamp if cfg.stress_band else 0.0
 
+    extrap_method = cfg.extrap_method
+    if extrap_method == "auto":
+        extrap_method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if extrap_method == "pallas":
+        from pyrmt_tpu.kernels.extrapolate_fused import (
+            extrapolate_reference_map_fused,
+        )
+
+        extrap_fn = extrapolate_reference_map_fused
+    elif extrap_method == "xla":
+        extrap_fn = extrapolate_reference_map
+    else:
+        raise ValueError(f"unknown extrap_method {cfg.extrap_method!r}")
+
     def rebuild_phis(X1s, X2s):
         return jnp.stack(
             [phi_inits[i](X1s[i], X2s[i]) for i in range(S)]
@@ -249,9 +264,7 @@ def make_step(
             X2s_a = X2s_a * solid_masks
 
             ext = [
-                extrapolate_reference_map(
-                    X1s_a[i], X2s_a[i], phis[i], dx, dy, cfg.num_layers
-                )
+                extrap_fn(X1s_a[i], X2s_a[i], phis[i], dx, dy, cfg.num_layers)
                 for i in range(S)
             ]
             X1s = jnp.stack([e[0] for e in ext])
