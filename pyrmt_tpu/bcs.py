@@ -23,7 +23,10 @@ def no_slip_lid_bc(u, v, lid_speed=1.0):
 
 
 def make_lid_bc(lid_speed=1.0):
-    return functools.partial(no_slip_lid_bc, lid_speed=lid_speed)
+    bc = functools.partial(no_slip_lid_bc, lid_speed=lid_speed)
+    # static spec consumed by the fused Pallas momentum kernel
+    bc.kernel_spec = ("lid", float(lid_speed))
+    return bc
 
 
 def free_slip_box_bc(u, v):
@@ -36,6 +39,9 @@ def free_slip_box_bc(u, v):
     return u, v
 
 
+free_slip_box_bc.kernel_spec = ("free_slip",)
+
+
 def periodic_bc(u, v):
     """Doubly-periodic overlap-grid wrap: last row/col mirror the first."""
     u = u.at[:, -1].set(u[:, 0]).at[-1, :].set(u[0, :])
@@ -45,3 +51,6 @@ def periodic_bc(u, v):
 
 def noop_bc(u, v):
     return u, v
+
+
+noop_bc.kernel_spec = ("noop",)

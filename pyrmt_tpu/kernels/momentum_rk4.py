@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: the ENTIRE RK4 momentum step in one VMEM-resident pass.
+
+The opt-in single-RHS kernel (kernels/momentum_rhs.py) was end-to-end slower
+than XLA because each of the 4 RK4 stages re-stacked ten fields to HBM and
+broke cross-stage fusion. This kernel stacks ONCE and runs all four stages —
+including the per-stage velocity BC and the Kelvin-Voigt stress — inside one
+row tile, writing only (u_new, v_new).
+
+Halo: each stage's RHS reads +-2 rows (3rd-order upwind) of the previous
+stage's field, so four chained stages need an 8-row halo; the stage-constant
+fields (p, blended solid stress, Hf, rho, external forces, KV mask) use the
+same halo. Halo rows come from the neighbouring row blocks (stacked input
+passed at block indices i-1 / i / i+1, clamped); one-sided boundary closures
+select by GLOBAL row index so the clamped garbage rows are never chosen.
+
+Velocity BCs are applied in-kernel from a STATIC spec (('lid', speed),
+('free_slip',), ('noop',)) attached to the stock BC functions in
+pyrmt_tpu/bcs.py; custom closures fall back to the XLA path. Parity with
+physics.momentum_step_rk4_multi is pinned in tests/test_pallas.py.
+
+Capability parity target: pyRMT/functions.py:594-683 (momentum_step_rk4).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyrmt_tpu.kernels.momentum_rhs import (
+    _grad_x,
+    _grad_y_masked,
+    _upwind_x,
+    _upwind_y_masked,
+)
+
+_HALO = 8
+_NFIELDS = 11  # u v p sxx sxy syy Hf rho fx fy mkv
+
+
+def _apply_bc(u, v, bc_spec, grow, gcol, Ny, Nx, dtype):
+    """In-kernel velocity BC via global-index masks (same final field as the
+    .at[...]= sequences in pyrmt_tpu/bcs.py, including corner pinning)."""
+    kind = bc_spec[0]
+    if kind == "noop":
+        return u, v
+    zero = jnp.zeros((), dtype)
+    row0 = grow == 0
+    rowN = grow == Ny - 1
+    col0 = gcol == 0
+    colN = gcol == Nx - 1
+    row_b = row0 | rowN
+    col_b = col0 | colN
+    if kind == "lid":
+        lid = jnp.asarray(bc_spec[1], dtype)
+        u = jnp.where(row_b | col_b, zero, u)
+        u = jnp.where(rowN & ~col_b, lid, u)
+        v = jnp.where(row_b | col_b, zero, v)
+        return u, v
+    if kind == "free_slip":
+        # order matters for corners: zero the u columns first, then copy the
+        # interior row into the boundary rows (and symmetrically for v)
+        def shy(f, k):
+            if k > 0:
+                return jnp.concatenate(
+                    [f[k:, :], jnp.zeros_like(f[:k, :])], axis=0)
+            return jnp.concatenate(
+                [jnp.zeros_like(f[k:, :]), f[:k, :]], axis=0)
+
+        def shx(f, k):
+            if k > 0:
+                return jnp.concatenate(
+                    [f[:, k:], jnp.zeros_like(f[:, :k])], axis=1)
+            return jnp.concatenate(
+                [jnp.zeros_like(f[:, k:]), f[:, :k]], axis=1)
+
+        u = jnp.where(col_b, zero, u)
+        u = jnp.where(row0, shy(u, 1), u)
+        u = jnp.where(rowN, shy(u, -1), u)
+        v = jnp.where(col0, shx(v, 1), v)
+        v = jnp.where(colN, shx(v, -1), v)
+        v = jnp.where(row_b, zero, v)
+        return u, v
+    raise ValueError(f"bc_spec {bc_spec!r} not supported in-kernel")
+
+
+def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
+    use_kv = eta_s > 0.0
+
+    def kernel(dt_ref, prev_ref, cur_ref, next_ref, out_u_ref, out_v_ref):
+        t = pl.program_id(0)
+        dt = dt_ref[0, 0]
+        top = prev_ref[:, tile - _HALO :, :]
+        bot = next_ref[:, :_HALO, :]
+        F = jnp.concatenate([top, cur_ref[...], bot], axis=1)
+        (u0, v0, p, sxx_el, sxy_el, syy_el, Hf, rho, fx, fy, mkv) = [
+            F[i] for i in range(_NFIELDS)
+        ]
+        dtype = u0.dtype
+        rows = tile + 2 * _HALO
+        grow = (
+            t * tile - _HALO
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        )
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
+        inv_rho = 1.0 / (rho + 1e-12)
+
+        def rhs(us, vs):
+            us, vs = _apply_bc(us, vs, bc_spec, grow, gcol, Ny, Nx, dtype)
+            sxx, sxy, syy = sxx_el, sxy_el, syy_el
+            du_dx = _grad_x(us, dx)
+            dv_dy = _grad_y_masked(vs, dy, grow, Ny)
+            du_dy = _grad_y_masked(us, dy, grow, Ny)
+            dv_dx = _grad_x(vs, dx)
+            if use_kv:
+                sxx = sxx + mkv * (eta_s * du_dx)
+                syy = syy + mkv * (eta_s * dv_dy)
+                sxy = sxy + mkv * (eta_s * 0.5 * (du_dy + dv_dx))
+
+            sig_xx = Hf * (2.0 * mu_f * du_dx) + sxx
+            sig_yy = Hf * (2.0 * mu_f * dv_dy) + syy
+            sig_xy = Hf * (mu_f * (du_dy + dv_dx)) + sxy
+
+            div_x = _grad_x(sig_xx, dx) + _grad_y_masked(sig_xy, dy, grow, Ny)
+            div_y = _grad_x(sig_xy, dx) + _grad_y_masked(sig_yy, dy, grow, Ny)
+
+            u_adv = -us * _upwind_x(us, us, dx) - vs * _upwind_y_masked(
+                us, vs, dy, grow, Ny)
+            v_adv = -us * _upwind_x(vs, us, dx) - vs * _upwind_y_masked(
+                vs, vs, dy, grow, Ny)
+
+            dp_dx = _grad_x(p, dx)
+            dp_dy = _grad_y_masked(p, dy, grow, Ny)
+
+            return (
+                u_adv + (div_x + fx - dp_dx) * inv_rho,
+                v_adv + (div_y + fy - dp_dy) * inv_rho,
+            )
+
+        k1u, k1v = rhs(u0, v0)
+        k2u, k2v = rhs(u0 + 0.5 * dt * k1u, v0 + 0.5 * dt * k1v)
+        k3u, k3v = rhs(u0 + 0.5 * dt * k2u, v0 + 0.5 * dt * k2v)
+        k4u, k4v = rhs(u0 + dt * k3u, v0 + dt * k3v)
+
+        u_new = u0 + (dt / 6.0) * (k1u + 2 * k2u + 2 * k3u + k4u)
+        v_new = v0 + (dt / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
+        u_new, v_new = _apply_bc(
+            u_new, v_new, bc_spec, grow, gcol, Ny, Nx, dtype)
+
+        out_u_ref[...] = u_new[_HALO : _HALO + tile, :]
+        out_v_ref[...] = v_new[_HALO : _HALO + tile, :]
+
+    return kernel
+
+
+def momentum_rk4_supported(velocity_bc, Ny):
+    """True when the BC carries a kernel spec and the grid row-tiles."""
+    spec = getattr(velocity_bc, "kernel_spec", None)
+    if spec is None:
+        return False
+    t = 32 if Ny >= 32 else Ny
+    while t >= 8 and Ny % t:
+        t //= 2
+    return Ny % t == 0 and t >= _HALO
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dx", "dy", "mu_f", "eta_s", "bc_spec", "tile",
+                     "interpret"),
+)
+def momentum_rk4_pallas(
+    u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
+    f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s, bc_spec,
+    tile=32, interpret=False,
+):
+    """Fused full-RK4 momentum update. Returns (u_new, v_new).
+
+    All array args are (Ny, Nx); ``mkv`` is the summed Kelvin-Voigt blend
+    mask sum_i solid_mask_i*(1-H_i); ``bc_spec`` a static tuple like
+    ('lid', 1.0) / ('free_slip',) / ('noop',).
+    """
+    Ny, Nx = u.shape
+    t = min(tile, Ny)
+    while t >= 8 and Ny % t:
+        t //= 2
+    if Ny % t or t < _HALO:
+        raise ValueError("grid does not tile; call momentum_rk4_supported")
+
+    dtype = u.dtype
+    z = jnp.zeros_like(u)
+    stacked = jnp.stack([
+        u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el,
+        Hf + z, rho_local + z, f_ext_x + z, f_ext_y + z, mkv + z,
+    ])
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+
+    grid = (Ny // t,)
+    block = pl.BlockSpec((_NFIELDS, t, Nx), lambda i: (0, i, 0))
+    block_prev = pl.BlockSpec(
+        (_NFIELDS, t, Nx), lambda i: (0, jnp.maximum(i - 1, 0), 0))
+    block_next = pl.BlockSpec(
+        (_NFIELDS, t, Nx), lambda i: (0, jnp.minimum(i + 1, grid[0] - 1), 0))
+    dt_spec = pl.BlockSpec(
+        (1, 1), lambda i: (0, 0),
+        memory_space=pltpu.SMEM if not interpret else None,
+    )
+    out_spec = pl.BlockSpec((t, Nx), lambda i: (i, 0))
+
+    kernel = _make_kernel(
+        float(dx), float(dy), float(mu_f), float(eta_s), Ny, Nx, t, bc_spec)
+    u_new, v_new = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[dt_spec, block_prev, block, block_next],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Ny, Nx), dtype),
+            jax.ShapeDtypeStruct((Ny, Nx), dtype),
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dt_arr, stacked, stacked, stacked)
+    return u_new, v_new

@@ -63,11 +63,19 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None):
     The step body is IDENTICAL to the single-chip one — the partitioner owns
     the collectives. Returns (step_fn, shard_fn).
     """
+    import dataclasses
+
     import jax.numpy as jnp
 
     from pyrmt_tpu.sim import make_step
 
     dtype = dtype or jnp.float32
+    # Pallas kernels are single-device programs the SPMD partitioner cannot
+    # split; the sharded step always uses the pure-XLA paths (which partition
+    # into halo exchanges / collectives automatically).
+    cfg = dataclasses.replace(
+        cfg, extrap_method="xla", momentum_method="xla", use_pallas_rhs=False
+    )
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype)
     sh = state_sharding(mesh)
     scalar = NamedSharding(mesh, P())

@@ -102,7 +102,7 @@ def momentum_step_rk4_multi(
     u, v, p, X1s, X2s, phis, velocity_bc, *,
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
-    use_pallas_rhs=False,
+    use_pallas_rhs=False, use_pallas_rk4=False,
 ):
     """Generic n-solid RK4 momentum step.
 
@@ -146,6 +146,22 @@ def momentum_step_rk4_multi(
 
     solid_masks = phis <= 0.0
     use_kv = eta_s > 0.0
+
+    if use_pallas_rk4:
+        # fused full-RK4 Pallas kernel: all four stages + per-stage BCs in
+        # one VMEM-resident pass (requires a BC with a kernel_spec)
+        from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
+
+        mkv = (
+            jnp.sum(solid_masks * one_minus_H, axis=0)
+            if use_kv else jnp.zeros_like(u)
+        )
+        u_new, v_new = momentum_rk4_pallas(
+            u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
+            f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s,
+            velocity_bc.kernel_spec,
+        )
+        return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
 
     def rhs(u_stage, v_stage):
         u_stage, v_stage = velocity_bc(u_stage, v_stage)

@@ -91,6 +91,7 @@ class RMTConfig:
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
     extrap_method: str = "auto"     # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    momentum_method: str = "auto"   # 'xla' | 'pallas' | 'auto' (pallas on TPU)
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -178,6 +179,17 @@ def make_step(
     else:
         stress_w_cut = cfg.w_t if cfg.stress_band else 0.0
         stress_clamp = cfg.detg_clamp if cfg.stress_band else 0.0
+
+    from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_supported
+
+    momentum_method = cfg.momentum_method
+    if momentum_method == "auto":
+        momentum_method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas_rk4 = (
+        momentum_method == "pallas" and momentum_rk4_supported(velocity_bc, g.Ny)
+    )
+    if momentum_method not in ("xla", "pallas"):
+        raise ValueError(f"unknown momentum_method {cfg.momentum_method!r}")
 
     extrap_method = cfg.extrap_method
     if extrap_method == "auto":
@@ -287,7 +299,7 @@ def make_step(
             dt=dt, rho_s=cfg.rho_s, rho_f=cfg.rho_f, mu_f=cfg.mu_f,
             w_t=cfg.w_t, gamma=cfg.gamma, stress_w_cut=stress_w_cut,
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
-            use_pallas_rhs=cfg.use_pallas_rhs,
+            use_pallas_rhs=cfg.use_pallas_rhs, use_pallas_rk4=use_pallas_rk4,
         )
 
         # (6) projection with the mixture density

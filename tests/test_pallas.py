@@ -62,3 +62,42 @@ def test_pallas_rhs_odd_grid_falls_back():
         jnp.asarray(rho), jnp.asarray(fx), jnp.asarray(fy))
     assert np.allclose(np.asarray(ru), np.asarray(ru_ref), atol=0)
     assert np.allclose(np.asarray(rv), np.asarray(rv_ref), atol=0)
+
+
+@pytest.mark.parametrize("bc_name", ["lid", "free_slip"])
+def test_pallas_full_rk4_matches_xla_path(bc_name):
+    """The fused full-RK4 momentum kernel (4 stages + per-stage BCs +
+    Kelvin-Voigt in one pass) equals momentum_step_rk4_multi to roundoff."""
+    import functools
+
+    import pyrmt_tpu.kernels.momentum_rk4 as mk
+    from pyrmt_tpu.bcs import free_slip_box_bc, make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.physics import momentum_step_rk4_multi
+
+    N = 64
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.1 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.1 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    p = 0.05 * jnp.cos(jnp.pi * X) * jnp.cos(jnp.pi * Y)
+    phi = jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2
+    mask = (phi <= 0).astype(jnp.float64)
+    X1, X2 = X * mask, Y * mask
+    bc = make_lid_bc(1.0) if bc_name == "lid" else free_slip_box_bc
+
+    kwargs = dict(mu_s=0.1, kappa=0.0, eta_s=0.01, dx=g.dx, dy=g.dy,
+                  dt=1e-3, rho_s=1.0, rho_f=1.0, mu_f=0.01, w_t=2.0 * g.dx)
+    ux, vx, *_ = momentum_step_rk4_multi(
+        u, v, p, X1[None], X2[None], phi[None], bc, **kwargs)
+
+    orig = mk.momentum_rk4_pallas
+    mk.momentum_rk4_pallas = functools.partial(orig, interpret=True)
+    try:
+        up, vp, *_ = momentum_step_rk4_multi(
+            u, v, p, X1[None], X2[None], phi[None], bc,
+            use_pallas_rk4=True, **kwargs)
+    finally:
+        mk.momentum_rk4_pallas = orig
+    assert np.allclose(np.asarray(ux), np.asarray(up), atol=1e-13)
+    assert np.allclose(np.asarray(vx), np.asarray(vp), atol=1e-13)
