@@ -39,6 +39,32 @@ def _time_fn(fn, args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
+def _time_scan(fn, carry, iters=50, repeats=3):
+    """Time ``fn: carry -> carry`` by compiling ``iters`` chained applications
+    into ONE scanned XLA program (min over ``repeats``).
+
+    Per-dispatch timing through a remote TPU tunnel is unreliable below ~1 ms
+    (see docs/PERFORMANCE.md measurement note); chaining through the carry
+    defeats both dispatch overhead and dead-code elimination.
+    """
+    import jax
+
+    @jax.jit
+    def chunk(c):
+        return jax.lax.scan(lambda c2, _: (fn(c2), None), c, None,
+                            length=iters)[0]
+
+    out = chunk(carry)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = chunk(out)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best  # ms
+
+
 def stage_breakdown(N=128, dtype=None, iters=20, verbose=True):
     """Per-stage ms timings for the soft-disc FSI pipeline at grid size N.
 
@@ -77,41 +103,112 @@ def stage_breakdown(N=128, dtype=None, iters=20, verbose=True):
 
     results = {}
 
-    mom = jax.jit(lambda u, v, p, X1, X2: momentum_step_rk4(
-        u, v, p, X1, X2, bc, cfg.mu_s, cfg.kappa, cfg.eta_s, dx, dy, dt,
-        cfg.rho_s, cfg.rho_f, phi, cfg.mu_f, w_t))
-    results["momentum_rk4"] = _time_fn(
-        mom, (state.u, state.v, state.p, state.X1[0], state.X2[0]), iters)
+    X1_0, X2_0 = state.X1[0], state.X2[0]
 
-    proj = jax.jit(lambda u, v, p: pressure_projection(
-        u, v, dx, dy, dt, 1.0, bc, p_prev=p, eigenvalues=eig,
-        bc_type="neumann"))
-    results["projection"] = _time_fn(proj, (state.u, state.v, state.p), iters)
+    def mom_body(c):
+        u, v = c
+        out = momentum_step_rk4(
+            u, v, state.p, X1_0, X2_0, bc, cfg.mu_s, cfg.kappa, cfg.eta_s,
+            dx, dy, dt, cfg.rho_s, cfg.rho_f, phi, cfg.mu_f, w_t)
+        return out[0], out[1]
 
-    adv = jax.jit(lambda qs, u, v: advect_semilagrangian_rk4_multi(
-        qs, u, v, X, Y, dt, dx, dy))
+    results["momentum_rk4"] = _time_scan(mom_body, (state.u, state.v), iters)
+
+    def proj_body(c):
+        u, v, p = c
+        return pressure_projection(
+            u, v, dx, dy, dt, 1.0, bc, p_prev=p, eigenvalues=eig,
+            bc_type="neumann")
+
+    results["projection"] = _time_scan(
+        proj_body, (state.u, state.v, state.p), iters)
+
     qs = jnp.concatenate([state.X1, state.X2], axis=0)
-    results["advection_gather"] = _time_fn(adv, (qs, state.u, state.v), iters)
+    results["advection_gather"] = _time_scan(
+        lambda q: advect_semilagrangian_rk4_multi(
+            q, state.u, state.v, X, Y, dt, dx, dy),
+        qs, max(iters // 10, 2))
 
     from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
 
-    adv_l = jax.jit(lambda qs, u, v: advect_semilagrangian_rk4_local(
-        qs, u, v, dt, dx, dy))
-    results["advection_local"] = _time_fn(adv_l, (qs, state.u, state.v), iters)
+    results["advection_local"] = _time_scan(
+        lambda q: advect_semilagrangian_rk4_local(
+            q, state.u, state.v, dt, dx, dy),
+        qs, iters)
 
-    ext = jax.jit(lambda x1, x2, ph: extrapolate_reference_map(
-        x1, x2, ph, dx, dy, cfg.num_layers))
-    results["extrapolation"] = _time_fn(
-        ext, (state.X1[0], state.X2[0], phi), iters)
+    results["extrapolation_xla"] = _time_scan(
+        lambda c: extrapolate_reference_map(
+            c[0], c[1], phi, dx, dy, cfg.num_layers),
+        (X1_0, X2_0), iters)
+
+    if jax.default_backend() == "tpu" and N % 16 == 0:
+        from pyrmt_tpu.kernels.extrapolate_fused import (
+            extrapolate_reference_map_fused,
+        )
+
+        results["extrapolation_pallas"] = _time_scan(
+            lambda c: extrapolate_reference_map_fused(
+                c[0], c[1], phi, dx, dy, cfg.num_layers),
+            (X1_0, X2_0), iters)
 
     step = make_step(cfg, bc, (phi_init,), dtype=dtype)
-    results["full_step"] = _time_fn(
-        lambda s: step(s, jnp.asarray(1e9, dtype))[0].u, (state,), iters)
+    t_end = jnp.asarray(1e9, dtype)
+    results["full_step"] = _time_scan(
+        lambda s: step(s, t_end)[0], state, iters)
 
     if verbose:
         print(f"[stage_breakdown] N={N} dtype={jnp.dtype(dtype).name}")
         for k, v in results.items():
             print(f"  {k:16s} {v:8.3f} ms")
+    return results
+
+
+def ablation_breakdown(N=1024, dtype=None, steps=50, verbose=True):
+    """Per-feature cost via ablation of the FULL chunked step.
+
+    Stage micro-benchmarks are unreliable on this box (multi-ms per-dispatch
+    noise through the TPU tunnel dwarfs sub-ms kernels, and they exclude
+    cross-stage fusion anyway). Instead, each row times 50 full FSI steps
+    compiled into one program with ONE feature toggled off — the difference
+    vs the first row is that feature's true end-to-end contribution.
+    """
+    import dataclasses
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.sim import make_init_state, make_run_chunk, make_step
+
+    dtype = dtype or jnp.float32
+    from __graft_entry__ import _flagship
+
+    cfg0, bc, phi_inits = _flagship(N, dtype)
+    variants = [
+        ("all defaults", {}),
+        ("momentum_method=xla", {"momentum_method": "xla"}),
+        ("extrap_method=xla", {"extrap_method": "xla"}),
+        ("dct_method=fft", {"dct_method": "fft"}),
+        ("sl_local=False (gather advection)", {"sl_local": False}),
+    ]
+    state0 = make_init_state(cfg0, phi_inits, dtype=dtype)
+    t_end = jnp.asarray(1e9, dtype)
+    results = {}
+    for name, over in variants:
+        cfg = dataclasses.replace(cfg0, **over)
+        chunk = make_run_chunk(
+            make_step(cfg, bc, phi_inits, dtype=dtype), steps)
+        s, _ = chunk(state0, t_end)
+        jax.block_until_ready(s.u)
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            s2, _ = chunk(s, t_end)
+            jax.block_until_ready(s2.u)
+            best = min(best, (_time.perf_counter() - t0) / steps * 1e3)
+        results[name] = best
+        if verbose:
+            print(f"  {name:36s} {best:8.3f} ms/step")
     return results
 
 
@@ -124,4 +221,8 @@ if __name__ == "__main__":
 
     rt.setup()
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    stage_breakdown(N=N)
+    if "--ablate" in sys.argv:
+        print(f"[ablation_breakdown] N={N}")
+        ablation_breakdown(N=N)
+    else:
+        stage_breakdown(N=N)
