@@ -112,3 +112,16 @@ from pyrmt_tpu.ops.levelset import (  # noqa: E402
     reinitialize_phi_fmm_equivalent as reinitialize_phi_fmm,
 )
 from pyrmt_tpu.io import output_simulation_data  # noqa: E402, F401
+
+# Fused Pallas kernels (TPU defaults; XLA fallbacks remain the CPU and
+# multi-chip paths — see docs/DESIGN.md "Performance model")
+from pyrmt_tpu.kernels.extrapolate_fused import (  # noqa: E402, F401
+    extrapolate_reference_map_fused,
+)
+from pyrmt_tpu.kernels.momentum_rk4 import (  # noqa: E402, F401
+    momentum_rk4_pallas,
+)
+from pyrmt_tpu.ops.poisson import (  # noqa: E402, F401
+    dct1_2d_matmul,
+    precompute_dct_matrices,
+)

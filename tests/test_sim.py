@@ -182,3 +182,23 @@ def test_steps_past_t_end_are_noops_not_nans():
     assert float(aux["dt"]) == 0.0
     assert np.all(np.isfinite(np.asarray(aux["phis"])))
     assert np.all(np.isfinite(np.asarray(aux["J"])))
+
+
+def test_unknown_method_configs_raise():
+    """Bogus dct/extrap/momentum method strings fail loudly at trace time
+    (same contract as the reference's unknown-scheme ValueError)."""
+    import dataclasses
+
+    import pytest
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_step
+
+    g = Grid(Nx=17, Ny=17, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_f=0.01, rho_f=1.0)
+    bc = make_lid_bc(1.0)
+    for field in ("dct_method", "extrap_method", "momentum_method"):
+        bad = dataclasses.replace(cfg, **{field: "bogus"})
+        with pytest.raises(ValueError):
+            make_step(bad, bc, ())
