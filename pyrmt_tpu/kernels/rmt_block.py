@@ -1,0 +1,413 @@
+"""Pallas TPU kernel: the whole RMT solid pipeline in one VMEM-resident pass.
+
+Per step the reference-map machinery runs, per solid:
+
+    phi   = phi_init(X1, X2)                 (compatibility rebuild)
+    mask  = phi <= 0
+    X1a, X2a = advect(X1, X2; u, v, dt)      (shared gather-free SL-RK4)
+    X1e, X2e = extrapolate(X1a*mask, X2a*mask, phi)   (num_layers sweeps)
+    phi2  = phi_init(X1e, X2e)               (rebuild from the advected map)
+    sigma, J = solid_cauchy_stress(X1e, X2e, phi2)
+    H     = smoothed_heaviside(phi2, w_t)
+
+followed by the n-fluid mixture sums. Each stage is cheap VPU work but the
+XLA path round-trips every intermediate through HBM; this kernel keeps one
+row tile resident and runs the whole chain, reading (u, v, X1, X2) and
+writing (X1e, X2e, phi2, sigma stacks, J, Hf, rho) once.
+
+Halo: the stress needs +-1 of the extrapolated map, extrapolation grows
+the valid region inward by 4 rows per sweep, and the advection samples
+within +-1 cell of a +-1-cell backtrace (CFL < 1) — so
+halo = 2 + 4*num_layers + 1, rounded up to 4*num_layers + 4. Out-of-domain
+halo rows are masked exactly like the standalone kernels.
+
+Numerical parity with the composed XLA ops is pinned in tests/test_pallas.py
+(f64 interpret mode). Capability parity: pyRMT/functions.py:194-227 (SL-RK4),
+:48-163 (extrapolation), :480-592 (stress + Heaviside), :1287-1288 (rebuild).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyrmt_tpu.ops.extrapolate import _WIN, _kernels_1d
+from pyrmt_tpu.kernels.extrapolate_fused import (
+    _corr_x,
+    _corr_y,
+    _fit_const_coeff,
+    _shz_x,
+    _shz_y,
+)
+
+
+def _sh_edge_x(f, k):
+    """f[:, i+k] edge-padded (parity with ops.fd._shift_x)."""
+    if k == 0:
+        return f
+    if k > 0:
+        return jnp.concatenate(
+            [f[:, k:], jnp.repeat(f[:, -1:], k, axis=1)], axis=1)
+    return jnp.concatenate(
+        [jnp.repeat(f[:, :1], -k, axis=1), f[:, :k]], axis=1)
+
+
+def _sh_edge_y(f, k):
+    if k == 0:
+        return f
+    if k > 0:
+        return jnp.concatenate(
+            [f[k:, :], jnp.repeat(f[-1:, :], k, axis=0)], axis=0)
+    return jnp.concatenate(
+        [jnp.repeat(f[:1, :], -k, axis=0), f[:k, :]], axis=0)
+
+
+def _bilinear_local(fields, sx, sy, gx, gy, Nx, Ny):
+    """Gather-free bilinear sampling of ``fields`` (list of (R, Nx) arrays)
+    at (i + sx, j + sy), |s| < 1 — the in-kernel twin of
+    ops.interp.gather_bilinear_local with GLOBAL coordinates (gx, gy).
+    """
+    dtype = fields[0].dtype
+    finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+    sx = jnp.where(finite, sx, 0.0)
+    sy = jnp.where(finite, sy, 0.0)
+    eps = 1e-6
+    sx = jnp.clip(sx, -1.0 + eps, 1.0 - eps)
+    sy = jnp.clip(sy, -1.0 + eps, 1.0 - eps)
+    x = jnp.clip(gx + sx, 0.0, Nx - 1.0)
+    y = jnp.clip(gy + sy, 0.0, Ny - 1.0)
+    sx = x - gx
+    sy = y - gy
+
+    neg_x = sx < 0.0
+    neg_y = sy < 0.0
+    fx = jnp.where(neg_x, sx + 1.0, sx).astype(dtype)
+    fy = jnp.where(neg_y, sy + 1.0, sy).astype(dtype)
+    at_right = (gx >= Nx - 1.0) & ~neg_x
+    neg_x = neg_x | at_right
+    fx = jnp.where(at_right, 1.0, fx)
+    at_top = (gy >= Ny - 1.0) & ~neg_y
+    neg_y = neg_y | at_top
+    fy = jnp.where(at_top, 1.0, fy)
+
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w10 = fx * (1.0 - fy)
+    w01 = (1.0 - fx) * fy
+    w11 = fx * fy
+
+    out = []
+    for f in fields:
+        # 9 static shifts per field, corners selected per-cell by the signs
+        # AT THE OUTPUT CELL (exactly ops.interp.gather_bilinear_local —
+        # selecting before shifting would read the neighbour's sign).
+        f_xm1 = _sh_edge_x(f, -1)
+        f_xp1 = _sh_edge_x(f, 1)
+        f_ym1 = _sh_edge_y(f, -1)
+        f_yp1 = _sh_edge_y(f, 1)
+        f_xm1_ym1 = _sh_edge_y(f_xm1, -1)
+        f_xp1_ym1 = _sh_edge_y(f_xp1, -1)
+        f_xm1_yp1 = _sh_edge_y(f_xm1, 1)
+        f_xp1_yp1 = _sh_edge_y(f_xp1, 1)
+        v00 = jnp.where(
+            neg_x, jnp.where(neg_y, f_xm1_ym1, f_xm1),
+            jnp.where(neg_y, f_ym1, f),
+        )
+        v10 = jnp.where(
+            neg_x, jnp.where(neg_y, f_ym1, f),
+            jnp.where(neg_y, f_xp1_ym1, f_xp1),
+        )
+        v01 = jnp.where(
+            neg_x, jnp.where(neg_y, f_xm1, f_xm1_yp1),
+            jnp.where(neg_y, f, f_yp1),
+        )
+        v11 = jnp.where(
+            neg_x, jnp.where(neg_y, f, f_yp1),
+            jnp.where(neg_y, f_xp1, f_xp1_yp1),
+        )
+        val = w00 * v00 + w10 * v10 + w01 * v01 + w11 * v11
+        out.append(jnp.where(finite, val, jnp.nan))
+    return out
+
+
+def _advect_sl_rk4(qs, u, v, dt, dx, dy, gx, gy, Nx, Ny):
+    """Shared-backtrace gather-free SL-RK4 (twin of
+    ops.advect.advect_semilagrangian_rk4_local)."""
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    k1x, k1y = u, v
+    k2x, k2y = _bilinear_local(
+        [u, v], -0.5 * dt * k1x * inv_dx, -0.5 * dt * k1y * inv_dy,
+        gx, gy, Nx, Ny)
+    k3x, k3y = _bilinear_local(
+        [u, v], -0.5 * dt * k2x * inv_dx, -0.5 * dt * k2y * inv_dy,
+        gx, gy, Nx, Ny)
+    k4x, k4y = _bilinear_local(
+        [u, v], -dt * k3x * inv_dx, -dt * k3y * inv_dy, gx, gy, Nx, Ny)
+    sx = -(dt / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x) * inv_dx
+    sy = -(dt / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y) * inv_dy
+    return _bilinear_local(qs, sx, sy, gx, gy, Nx, Ny)
+
+
+def _extrap_sweeps(X1b, X2b, known0, fx, fy, interior, max_layers):
+    """In-block extrapolation sweeps (same body as extrapolate_fused)."""
+    kf = known0
+    one = jnp.ones((), X1b.dtype)
+    for _ in range(max_layers):
+        row_max = jnp.maximum(jnp.maximum(_shz_x(kf, -1), kf), _shz_x(kf, 1))
+        neigh = jnp.maximum(
+            jnp.maximum(_shz_y(row_max, -1), row_max), _shz_y(row_max, 1))
+        frontier = (kf == 0.0) & (neigh > 0.0) & interior
+
+        kX1 = kf * X1b
+        kX2 = kf * X2b
+        k_1, k_wx, k_wxd, k_wxd2 = _corr_x(
+            kf, [fx["1"], fx["wx"], fx["wxd"], fx["wxd2"]])
+        x1_wx, x1_wxd = _corr_x(kX1, [fx["wx"], fx["wxd"]])
+        x2_wx, x2_wxd = _corr_x(kX2, [fx["wx"], fx["wxd"]])
+        count = _corr_y(k_1, [fy["1"]])[0]
+        s00, s02, s22 = _corr_y(k_wx, [fy["wy"], fy["wyd"], fy["wyd2"]])
+        s01, s12 = _corr_y(k_wxd, [fy["wy"], fy["wyd"]])
+        s11 = _corr_y(k_wxd2, [fy["wy"]])[0]
+        b1_0, b1_2 = _corr_y(x1_wx, [fy["wy"], fy["wyd"]])
+        b1_1 = _corr_y(x1_wxd, [fy["wy"]])[0]
+        b2_0, b2_2 = _corr_y(x2_wx, [fy["wy"], fy["wyd"]])
+        b2_1 = _corr_y(x2_wxd, [fy["wy"]])[0]
+
+        c1_0, ok = _fit_const_coeff(
+            s00, s01, s02, s11, s12, s22, b1_0, b1_1, b1_2, det_eps=1e-10)
+        c2_0, _ = _fit_const_coeff(
+            s00, s01, s02, s11, s12, s22, b2_0, b2_1, b2_2, det_eps=1e-10)
+
+        accept = frontier & (count >= 3.0) & ok
+        X1b = jnp.where(accept, c1_0, X1b)
+        X2b = jnp.where(accept, c2_0, X2b)
+        kf = jnp.where(accept, one, kf)
+    return X1b, X2b
+
+
+def _stress(X1, X2, phi, dx, dy, mu_s, kappa, w_cut, detg_clamp, interior):
+    """In-block twin of ops.stress.solid_cauchy_stress (both modes)."""
+    inv_2dx = 1.0 / (2.0 * dx)
+    inv_2dy = 1.0 / (2.0 * dy)
+    X1_xp, X1_xm = _sh_edge_x(X1, 1), _sh_edge_x(X1, -1)
+    X2_xp, X2_xm = _sh_edge_x(X2, 1), _sh_edge_x(X2, -1)
+    X1_yp, X1_ym = _sh_edge_y(X1, 1), _sh_edge_y(X1, -1)
+    X2_yp, X2_ym = _sh_edge_y(X2, 1), _sh_edge_y(X2, -1)
+
+    if w_cut > 0.0:
+        in_band = phi < w_cut
+        g11 = (X1_xp - X1_xm) * inv_2dx
+        g21 = (X2_xp - X2_xm) * inv_2dx
+        g12 = (X1_yp - X1_ym) * inv_2dy
+        g22 = (X2_yp - X2_ym) * inv_2dy
+    else:
+        in_band = phi <= 0.0
+        phi_xp, phi_xm = _sh_edge_x(phi, 1), _sh_edge_x(phi, -1)
+        phi_yp, phi_ym = _sh_edge_y(phi, 1), _sh_edge_y(phi, -1)
+        lf = phi_xm > 0.0
+        rf = phi_xp > 0.0
+        g11 = jnp.where(lf & ~rf, (X1_xp - X1) / dx,
+                        jnp.where(rf & ~lf, (X1 - X1_xm) / dx,
+                                  (X1_xp - X1_xm) * inv_2dx))
+        g21 = jnp.where(lf & ~rf, (X2_xp - X2) / dx,
+                        jnp.where(rf & ~lf, (X2 - X2_xm) / dx,
+                                  (X2_xp - X2_xm) * inv_2dx))
+        bf = phi_ym > 0.0
+        tf = phi_yp > 0.0
+        g12 = jnp.where(bf & ~tf, (X1_yp - X1) / dy,
+                        jnp.where(tf & ~bf, (X1 - X1_ym) / dy,
+                                  (X1_yp - X1_ym) * inv_2dy))
+        g22 = jnp.where(bf & ~tf, (X2_yp - X2) / dy,
+                        jnp.where(tf & ~bf, (X2 - X2_ym) / dy,
+                                  (X2_yp - X2_ym) * inv_2dy))
+
+    detG = g11 * g22 - g12 * g21
+    nonsingular = jnp.abs(detG) >= 1e-10
+    if detg_clamp > 0.0:
+        detG = jnp.clip(detG, 1.0 / detg_clamp, detg_clamp)
+    active = in_band & nonsingular & interior
+    safe_det = jnp.where(active, detG, 1.0)
+    inv_det = 1.0 / safe_det
+    f11, f12 = g22 * inv_det, -g12 * inv_det
+    f21, f22 = -g21 * inv_det, g11 * inv_det
+    b11 = f11 * f11 + f12 * f12
+    b12 = f11 * f21 + f12 * f22
+    b22 = f21 * f21 + f22 * f22
+    vol = kappa * (inv_det - 1.0)
+    zero = jnp.zeros_like(X1)
+    sxx = jnp.where(active, mu_s * b11 + vol, zero)
+    sxy = jnp.where(active, mu_s * b12, zero)
+    syy = jnp.where(active, mu_s * b22 + vol, zero)
+    J = jnp.where(active, inv_det, jnp.ones_like(X1))
+    return sxx, sxy, syy, J
+
+
+def _heaviside(x, w_t):
+    inv_wt = 1.0 / w_t
+    H = 0.5 * (1.0 + x * inv_wt + jnp.sin(jnp.pi * x * inv_wt) / jnp.pi)
+    H = jnp.where(x > w_t, 1.0, H)
+    H = jnp.where(x < -w_t, 0.0, H)
+    return H
+
+
+def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
+                 w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp):
+    S = len(phi_inits)
+    fx, fy = _kernels_1d(dx, dy)
+
+    def kernel(dt_ref, prev_ref, cur_ref, next_ref, *out_refs):
+        (x1e_ref, x2e_ref, phi_ref, sxx_ref, sxy_ref, syy_ref, j_ref,
+         hf_ref, rho_ref, sbxx_ref, sbxy_ref, sbyy_ref) = out_refs
+        t = pl.program_id(0)
+        dt = dt_ref[0, 0]
+        top = prev_ref[:, tile - halo :, :]
+        bot = next_ref[:, :halo, :]
+        F = jnp.concatenate([top, cur_ref[...], bot], axis=1)
+        u, v = F[0], F[1]
+        dtype = u.dtype
+
+        rows = tile + 2 * halo
+        grow = (
+            t * tile - halo
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        )
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
+        gy = grow.astype(dtype)
+        gx = gcol.astype(dtype)
+        valid = (grow >= 0) & (grow <= Ny - 1)
+        interior = (grow > 0) & (grow < Ny - 1) & (gcol > 0) & (gcol < Nx - 1)
+
+        # shared RK4 backtrace displacement for ALL 2S components
+        sl = tile
+        Hf_acc = None
+        one_mH_sum = None
+        sb_xx = sb_xy = sb_yy = None
+        for i in range(S):
+            X1 = F[2 + 2 * i]
+            X2 = F[3 + 2 * i]
+            phi = phi_inits[i](X1, X2).astype(dtype)
+            mask = (phi <= 0.0).astype(dtype)
+            known = valid & (phi < 0.0)
+
+            if i == 0:
+                qs_all = []
+            qs_all.append((X1, X2, phi, mask, known))
+
+        # one backtrace, applied to every component
+        comps = []
+        for (X1, X2, phi, mask, known) in qs_all:
+            comps.extend([X1, X2])
+        adv = _advect_sl_rk4(comps, u, v, dt, dx, dy, gx, gy, Nx, Ny)
+
+        for i, (X1, X2, phi, mask, known) in enumerate(qs_all):
+            X1a = adv[2 * i] * mask
+            X2a = adv[2 * i + 1] * mask
+            kf0 = jnp.where(known, jnp.ones((), dtype), jnp.zeros((), dtype))
+            X1e, X2e = _extrap_sweeps(
+                X1a, X2a, kf0, fx, fy, interior, num_layers)
+            phi2 = phi_inits[i](X1e, X2e).astype(dtype)
+            sxx, sxy, syy, J = _stress(
+                X1e, X2e, phi2, dx, dy, mu_s, kappa,
+                stress_w_cut, stress_clamp, interior)
+            H = _heaviside(phi2, w_t)
+            one_mH = 1.0 - H
+
+            x1e_ref[i, ...] = X1e[halo : halo + sl, :]
+            x2e_ref[i, ...] = X2e[halo : halo + sl, :]
+            phi_ref[i, ...] = phi2[halo : halo + sl, :]
+            sxx_ref[i, ...] = sxx[halo : halo + sl, :]
+            sxy_ref[i, ...] = sxy[halo : halo + sl, :]
+            syy_ref[i, ...] = syy[halo : halo + sl, :]
+            j_ref[i, ...] = J[halo : halo + sl, :]
+
+            Hf_acc = H if Hf_acc is None else Hf_acc + H
+            one_mH_sum = one_mH if one_mH_sum is None else one_mH_sum + one_mH
+            sb_xx = one_mH * sxx if sb_xx is None else sb_xx + one_mH * sxx
+            sb_xy = one_mH * sxy if sb_xy is None else sb_xy + one_mH * sxy
+            sb_yy = one_mH * syy if sb_yy is None else sb_yy + one_mH * syy
+
+        Hf = Hf_acc - (S - 1.0)
+        rho_local = Hf * rho_f + one_mH_sum * rho_s
+        hf_ref[...] = Hf[halo : halo + sl, :]
+        rho_ref[...] = rho_local[halo : halo + sl, :]
+        sbxx_ref[...] = sb_xx[halo : halo + sl, :]
+        sbxy_ref[...] = sb_xy[halo : halo + sl, :]
+        sbyy_ref[...] = sb_yy[halo : halo + sl, :]
+
+    return kernel
+
+
+def rmt_block_supported(Ny, num_layers, S):
+    t = 32 if Ny >= 32 else Ny
+    while t >= 8 and Ny % t:
+        t //= 2
+    return S >= 1 and Ny % t == 0 and t >= 4 * num_layers + 4
+
+
+@partial(
+    jax.jit,
+    static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
+                     "kappa", "rho_s", "rho_f", "stress_w_cut",
+                     "stress_clamp", "tile", "interpret"),
+)
+def rmt_block_fused(
+    u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
+    rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=32,
+    interpret=False,
+):
+    """Fused advect→extrapolate→rebuild→stress→blend pipeline.
+
+    Returns (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
+    sig_sxx_el, sig_sxy_el, sig_syy_el) — everything the momentum step and
+    the projection need from the solid machinery. ``phi_inits`` must be a
+    (hashable) tuple of jnp-traceable callables.
+    """
+    S = X1s.shape[0]
+    Ny, Nx = u.shape
+    halo = 4 * num_layers + 4
+    t = min(tile, Ny)
+    while t >= 8 and Ny % t:
+        t //= 2
+    if Ny % t or t < halo:
+        raise ValueError("grid does not tile; call rmt_block_supported")
+
+    dtype = u.dtype
+    stacked = jnp.concatenate(
+        [u[None], v[None], *[jnp.stack([X1s[i], X2s[i]]) for i in range(S)]]
+    )
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    C = 2 + 2 * S
+
+    grid = (Ny // t,)
+    block = pl.BlockSpec((C, t, Nx), lambda i: (0, i, 0))
+    block_prev = pl.BlockSpec((C, t, Nx), lambda i: (0, jnp.maximum(i - 1, 0), 0))
+    block_next = pl.BlockSpec(
+        (C, t, Nx), lambda i: (0, jnp.minimum(i + 1, grid[0] - 1), 0))
+    dt_spec = pl.BlockSpec(
+        (1, 1), lambda i: (0, 0),
+        memory_space=pltpu.SMEM if not interpret else None,
+    )
+    stack_spec = pl.BlockSpec((S, t, Nx), lambda i: (0, i, 0))
+    field_spec = pl.BlockSpec((t, Nx), lambda i: (i, 0))
+
+    kernel = _make_kernel(
+        phi_inits, float(dx), float(dy), Ny, Nx, t, halo, num_layers,
+        float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
+        float(stress_w_cut), float(stress_clamp))
+    stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
+    field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[dt_spec, block_prev, block, block_next],
+        out_specs=(stack_spec,) * 7 + (field_spec,) * 5,
+        out_shape=(stackS,) * 7 + (field,) * 5,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(dt_arr, stacked, stacked, stacked)
+    return outs

@@ -74,7 +74,8 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None):
     # split; the sharded step always uses the pure-XLA paths (which partition
     # into halo exchanges / collectives automatically).
     cfg = dataclasses.replace(
-        cfg, extrap_method="xla", momentum_method="xla", use_pallas_rhs=False
+        cfg, extrap_method="xla", momentum_method="xla", rmt_method="xla",
+        use_pallas_rhs=False,
     )
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype)
     sh = state_sharding(mesh)

@@ -98,6 +98,30 @@ def velocity_rhs_blended(
     return rhs_u, rhs_v
 
 
+def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t):
+    """CSF surface tension + pairwise repulsive contact, constant over the
+    RK4 stages (parity: pyRMT/functions.py:621-628 and :785-816)."""
+    S = phis.shape[0]
+    shape = phis.shape[1:]
+    f_ext_x = jnp.zeros(shape, phis.dtype)
+    f_ext_y = jnp.zeros(shape, phis.dtype)
+    if gamma > 1e-12:
+        for i in range(S):
+            kap = compute_curvature(phis[i], dx, dy)
+            dH_dx = grad_central_x_2nd(H_s[i], dx)
+            dH_dy = grad_central_y_2nd(H_s[i], dy)
+            f_ext_x = f_ext_x - gamma * kap * dH_dx
+            f_ext_y = f_ext_y - gamma * kap * dH_dy
+    if k_rep > 0.0 and S >= 2:
+        wc = (2.0 * w_t) if w_c is None else w_c
+        for i in range(S):
+            for j in range(i + 1, S):
+                fcx, fcy = compute_contact_force(phis[i], phis[j], k_rep, wc, dx, dy)
+                f_ext_x = f_ext_x + fcx
+                f_ext_y = f_ext_y + fcy
+    return f_ext_x, f_ext_y
+
+
 def momentum_step_rk4_multi(
     u, v, p, X1s, X2s, phis, velocity_bc, *,
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
@@ -127,24 +151,36 @@ def momentum_step_rk4_multi(
     sig_syy_el = jnp.sum(one_minus_H * syy_s, axis=0)
 
     # external body forces constant over the RK4 stages
-    f_ext_x = jnp.zeros_like(u)
-    f_ext_y = jnp.zeros_like(v)
-    if gamma > 1e-12:
-        for i in range(S):
-            kap = compute_curvature(phis[i], dx, dy)
-            dH_dx = grad_central_x_2nd(H_s[i], dx)
-            dH_dy = grad_central_y_2nd(H_s[i], dy)
-            f_ext_x = f_ext_x - gamma * kap * dH_dx
-            f_ext_y = f_ext_y - gamma * kap * dH_dy
-    if k_rep > 0.0 and S >= 2:
-        wc = (2.0 * w_t) if w_c is None else w_c
-        for i in range(S):
-            for j in range(i + 1, S):
-                fcx, fcy = compute_contact_force(phis[i], phis[j], k_rep, wc, dx, dy)
-                f_ext_x = f_ext_x + fcx
-                f_ext_y = f_ext_y + fcy
+    f_ext_x, f_ext_y = external_forces(
+        phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t)
 
     solid_masks = phis <= 0.0
+    use_kv = eta_s > 0.0
+    mkv = (
+        jnp.sum(solid_masks.astype(u.dtype) * one_minus_H, axis=0)
+        if use_kv else jnp.zeros_like(u)
+    )
+
+    u_new, v_new = momentum_core(
+        u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
+        f_ext_x, f_ext_y, mkv, velocity_bc, eta_s=eta_s, dx=dx, dy=dy,
+        dt=dt, mu_f=mu_f, use_pallas_rhs=use_pallas_rhs,
+        use_pallas_rk4=use_pallas_rk4,
+    )
+    return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
+
+
+def momentum_core(
+    u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
+    f_ext_x, f_ext_y, mkv, velocity_bc, *, eta_s, dx, dy, dt, mu_f,
+    use_pallas_rhs=False, use_pallas_rk4=False,
+):
+    """RK4 velocity update from pre-blended fields.
+
+    ``sig_s**_el`` are sum_i (1-H_i) sigma_i, ``mkv`` the Kelvin-Voigt blend
+    mask sum_i mask_i (1-H_i) (zeros when eta_s == 0). Used by both
+    ``momentum_step_rk4_multi`` and the fused RMT-block path in sim.make_step.
+    """
     use_kv = eta_s > 0.0
 
     if use_pallas_rk4:
@@ -152,16 +188,11 @@ def momentum_step_rk4_multi(
         # one VMEM-resident pass (requires a BC with a kernel_spec)
         from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
 
-        mkv = (
-            jnp.sum(solid_masks * one_minus_H, axis=0)
-            if use_kv else jnp.zeros_like(u)
-        )
-        u_new, v_new = momentum_rk4_pallas(
+        return momentum_rk4_pallas(
             u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
             f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s,
             velocity_bc.kernel_spec,
         )
-        return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
 
     def rhs(u_stage, v_stage):
         u_stage, v_stage = velocity_bc(u_stage, v_stage)
@@ -169,20 +200,15 @@ def momentum_step_rk4_multi(
         if use_kv:
             # Kelvin-Voigt damping: eta_s * rate-of-strain inside each solid,
             # entering through the same (1-H_i) blend as the elastic stress
-            # is blended with, restricted to phi_i <= 0 like the reference
-            # (pyRMT/functions.py:639-651).
+            # (pyRMT/functions.py:639-651); the per-solid masks enter linearly
+            # so the summed mask ``mkv`` is exact.
             du_dx = grad_central_x_2nd(u_stage, dx)
             dv_dy = grad_central_y_2nd(v_stage, dy)
             du_dy = grad_central_y_2nd(u_stage, dy)
             dv_dx = grad_central_x_2nd(v_stage, dx)
-            kv_xx = eta_s * du_dx
-            kv_yy = eta_s * dv_dy
-            kv_xy = eta_s * 0.5 * (du_dy + dv_dx)
-            for i in range(S):
-                m = solid_masks[i] * one_minus_H[i]
-                sxx = sxx + m * kv_xx
-                syy = syy + m * kv_yy
-                sxy = sxy + m * kv_xy
+            sxx = sxx + mkv * (eta_s * du_dx)
+            syy = syy + mkv * (eta_s * dv_dy)
+            sxy = sxy + mkv * (eta_s * 0.5 * (du_dy + dv_dx))
         if use_pallas_rhs:
             from pyrmt_tpu.kernels.momentum_rhs import velocity_rhs_blended_pallas
 
@@ -202,9 +228,7 @@ def momentum_step_rk4_multi(
 
     u_new = u + (dt / 6.0) * (k1u + 2 * k2u + 2 * k3u + k4u)
     v_new = v + (dt / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
-    u_new, v_new = velocity_bc(u_new, v_new)
-
-    return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
+    return velocity_bc(u_new, v_new)
 
 
 def momentum_step_rk4(

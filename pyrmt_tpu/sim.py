@@ -92,6 +92,8 @@ class RMTConfig:
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
     extrap_method: str = "auto"     # 'xla' | 'pallas' | 'auto' (pallas on TPU)
     momentum_method: str = "auto"   # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    rmt_method: str = "auto"        # 'xla' | 'pallas' | 'auto': fuse the whole
+                                    # advect->extrap->stress block on TPU
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -191,6 +193,23 @@ def make_step(
     if momentum_method not in ("xla", "pallas"):
         raise ValueError(f"unknown momentum_method {cfg.momentum_method!r}")
 
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_supported
+
+    rmt_method = cfg.rmt_method
+    if rmt_method == "auto":
+        rmt_method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if rmt_method not in ("xla", "pallas"):
+        raise ValueError(f"unknown rmt_method {cfg.rmt_method!r}")
+    use_rmt_fused = (
+        rmt_method == "pallas"
+        and S >= 1
+        and cfg.scheme == "semilagrangian"
+        and cfg.sl_local
+        and cfg.CFL < 1.0
+        and cfg.reinit_method == "none"
+        and rmt_block_supported(g.Ny, cfg.num_layers, S)
+    )
+
     extrap_method = cfg.extrap_method
     if extrap_method == "auto":
         extrap_method = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -226,6 +245,72 @@ def make_step(
         # as no-ops (the reference's while-loop never steps past t_end).
         active = dt > 0.0
         dt = jnp.where(active, dt, jnp.asarray(1.0, dtype))
+
+        if use_rmt_fused:
+            # (2)-(4) + stress/blends in ONE Pallas pass (kernels/rmt_block).
+            # On no-op (dt-frozen) steps the STATE stays exactly frozen below;
+            # only the aux diagnostics reflect the discarded trial step
+            # (the XLA path recomputes them from the frozen maps instead).
+            from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+            from pyrmt_tpu.physics import external_forces, momentum_core
+
+            (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
+             sb_xx, sb_xy, sb_yy) = rmt_block_fused(
+                u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits), dx=dx, dy=dy,
+                num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=cfg.mu_s,
+                kappa=cfg.kappa, rho_s=cfg.rho_s, rho_f=cfg.rho_f,
+                stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
+            )
+            X1s = jnp.where(active, X1e, state.X1)
+            X2s = jnp.where(active, X2e, state.X2)
+
+            if cfg.gamma > 1e-12 or (cfg.k_rep > 0.0 and S >= 2):
+                H_s = smoothed_heaviside(phis, cfg.w_t)
+                f_ext_x, f_ext_y = external_forces(
+                    phis, H_s, dx, dy, gamma=cfg.gamma, k_rep=cfg.k_rep,
+                    w_c=cfg.w_c, w_t=cfg.w_t)
+            else:
+                f_ext_x = jnp.zeros(g.shape, dtype)
+                f_ext_y = f_ext_x
+            if cfg.eta_s > 0.0:
+                H_kv = smoothed_heaviside(phis, cfg.w_t)
+                mkv = jnp.sum(
+                    (phis <= 0.0).astype(dtype) * (1.0 - H_kv), axis=0)
+            else:
+                mkv = jnp.zeros(g.shape, dtype)
+
+            u_star, v_star = momentum_core(
+                u, v, p, sb_xx, sb_xy, sb_yy, Hf, rho_local,
+                f_ext_x, f_ext_y, mkv, velocity_bc, eta_s=cfg.eta_s,
+                dx=dx, dy=dy, dt=dt, mu_f=cfg.mu_f,
+                use_pallas_rhs=cfg.use_pallas_rhs,
+                use_pallas_rk4=use_pallas_rk4,
+            )
+
+            u_new, v_new, p_new = pressure_projection(
+                u_star, v_star, dx, dy, dt, rho_local, velocity_bc,
+                p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
+                variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
+                cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
+            )
+
+            frz = lambda new, old: jnp.where(active, new, old)
+            new_state = SimState(
+                u=frz(u_new, state.u), v=frz(v_new, state.v),
+                p=frz(p_new, state.p), X1=X1s, X2=X2s,
+                t=state.t + jnp.where(active, dt, 0.0).astype(dtype),
+                step=state.step + jnp.where(active, 1, 0).astype(jnp.int32),
+            )
+            aux = {
+                "dt": jnp.where(active, dt, 0.0).astype(dtype),
+                "phis": phis,
+                "J": J_s,
+                "sxx": sxx_s,
+                "sxy": sxy_s,
+                "syy": syy_s,
+                "rho_local": rho_local,
+            }
+            return new_state, aux
 
         if S > 0:
             # (2) compatibility rebuild (+ optional reinitialisation)

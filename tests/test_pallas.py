@@ -101,3 +101,71 @@ def test_pallas_full_rk4_matches_xla_path(bc_name):
         mk.momentum_rk4_pallas = orig
     assert np.allclose(np.asarray(ux), np.asarray(up), atol=1e-13)
     assert np.allclose(np.asarray(vx), np.asarray(vp), atol=1e-13)
+
+
+def test_rmt_block_fused_matches_composed_ops():
+    """The fused advect->extrapolate->rebuild->stress->blend kernel equals
+    the composed XLA ops to roundoff (one step), and a full sim step through
+    the fused path stays machine-exact vs the XLA path."""
+    import dataclasses
+    import functools
+
+    import pyrmt_tpu.kernels.rmt_block as rb
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
+    from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+    from pyrmt_tpu.ops.stress import solid_cauchy_stress
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, rho_s=1.0, mu_f=0.01,
+                    rho_f=1.0, num_layers=3, CFL=0.2, dt_min_cap=1e-3)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 1e-3
+
+    phis = jnp.stack([phi_init(state.X1[0], state.X2[0])])
+    mask = (phis[0] <= 0.0).astype(jnp.float64)
+    qs = jnp.concatenate([state.X1, state.X2], axis=0)
+    qs_new = advect_semilagrangian_rk4_local(qs, u, v, dt, g.dx, g.dy)
+    X1e, X2e = extrapolate_reference_map(
+        qs_new[0] * mask, qs_new[1] * mask, phis[0], g.dx, g.dy, 3)
+    phi2 = phi_init(X1e, X2e)
+    sxx, _, _, J = solid_cauchy_stress(
+        X1e, X2e, g.dx, g.dy, 0.1, 0.0, phi2, w_cut=0.0, detg_clamp=0.0)
+
+    out = rb.rmt_block_fused(
+        u, v, state.X1, state.X2, dt, phi_inits=(phi_init,), dx=g.dx,
+        dy=g.dy, num_layers=3, w_t=cfg.w_t, mu_s=0.1, kappa=0.0, rho_s=1.0,
+        rho_f=1.0, interpret=True)
+    kX1e, kX2e, kphi, ksxx = out[0], out[1], out[2], out[3]
+    kJ = out[6]
+    assert np.allclose(np.asarray(X1e), np.asarray(kX1e[0]), atol=1e-13)
+    assert np.allclose(np.asarray(X2e), np.asarray(kX2e[0]), atol=1e-13)
+    assert np.allclose(np.asarray(phi2), np.asarray(kphi[0]), atol=1e-13)
+    assert np.allclose(np.asarray(sxx), np.asarray(ksxx[0]), atol=1e-13)
+    assert np.allclose(np.asarray(J), np.asarray(kJ[0]), atol=1e-12)
+
+    # full sim step through the fused path
+    orig = rb.rmt_block_fused
+    rb.rmt_block_fused = functools.partial(orig, interpret=True)
+    try:
+        bc = make_lid_bc(1.0)
+        t_end = jnp.asarray(1.0, jnp.float64)
+        step_x = make_step(dataclasses.replace(cfg, rmt_method="xla"),
+                           bc, (phi_init,), dtype=jnp.float64)
+        step_p = make_step(dataclasses.replace(cfg, rmt_method="pallas"),
+                           bc, (phi_init,), dtype=jnp.float64)
+        sx, sp = state, state
+        for _ in range(5):
+            sx, _ = step_x(sx, t_end)
+            sp, _ = step_p(sp, t_end)
+        assert np.allclose(np.asarray(sx.u), np.asarray(sp.u), atol=1e-14)
+        assert np.allclose(np.asarray(sx.p), np.asarray(sp.p), atol=1e-13)
+        assert np.allclose(np.asarray(sx.X1), np.asarray(sp.X1), atol=1e-13)
+    finally:
+        rb.rmt_block_fused = orig
