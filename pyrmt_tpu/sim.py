@@ -187,8 +187,13 @@ def make_step(
     momentum_method = cfg.momentum_method
     if momentum_method == "auto":
         momentum_method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # S == 0 keeps the XLA momentum: with no solid the blends are constants
+    # (sigma_el = 0, Hf = 1, rho = rho_f) and XLA constant-folds most of the
+    # RHS — measured 2.2x faster than the kernel's full-work pass at N=1024.
     use_pallas_rk4 = (
-        momentum_method == "pallas" and momentum_rk4_supported(velocity_bc, g.Ny)
+        momentum_method == "pallas"
+        and S > 0
+        and momentum_rk4_supported(velocity_bc, g.Ny)
     )
     if momentum_method not in ("xla", "pallas"):
         raise ValueError(f"unknown momentum_method {cfg.momentum_method!r}")

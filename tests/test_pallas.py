@@ -161,7 +161,7 @@ def test_rmt_block_fused_matches_composed_ops():
         step_p = make_step(dataclasses.replace(cfg, rmt_method="pallas"),
                            bc, (phi_init,), dtype=jnp.float64)
         sx, sp = state, state
-        for _ in range(5):
+        for _ in range(3):
             sx, _ = step_x(sx, t_end)
             sp, _ = step_p(sp, t_end)
         assert np.allclose(np.asarray(sx.u), np.asarray(sp.u), atol=1e-14)

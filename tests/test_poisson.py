@@ -221,10 +221,10 @@ def test_sim_step_dct_method_matmul_matches_fft():
     from pyrmt_tpu.grid import Grid
     from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
 
-    g = Grid(Nx=33, Ny=33, Lx=1.0, Ly=1.0)
+    g = Grid(Nx=17, Ny=17, Lx=1.0, Ly=1.0)
     cfg = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, mu_f=0.01, rho_f=1.0,
                     num_layers=3, CFL=0.2, dt_min_cap=1e-3, dct_method="fft")
-    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2,)
+    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.25,)
     bc = make_lid_bc(1.0)
     state = make_init_state(cfg, phi_inits, dtype=jnp.float64)
     t_end = jnp.asarray(1.0, jnp.float64)
