@@ -10,6 +10,10 @@ O(N^2 log N), so at the target N=1024 the projected reference step is
 the reference's favour). vs_baseline = projected_ref_step_time / our_step_time.
 
 Usage: python bench.py [N] [steps]
+
+The default 200-step chunk amortises this box's fixed per-dispatch tunnel
+latency (~25 ms per chunk through the remote TPU frontend); the resulting
+number matches the device-busy time from jax.profiler traces.
 """
 from __future__ import annotations
 
@@ -18,7 +22,7 @@ import sys
 import time
 
 
-def main(N=1024, n_steps=50, use_pallas=False):
+def main(N=1024, n_steps=200, use_pallas=False):
     import pyrmt_tpu.runtime as rt
 
     rt.setup()
@@ -68,5 +72,5 @@ if __name__ == "__main__":
     use_pallas = "--pallas" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(args[0]) if len(args) > 0 else 1024
-    n_steps = int(args[1]) if len(args) > 1 else 50
+    n_steps = int(args[1]) if len(args) > 1 else 200
     main(N=N, n_steps=n_steps, use_pallas=use_pallas)
