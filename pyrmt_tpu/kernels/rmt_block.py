@@ -258,7 +258,7 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
     S = len(phi_inits)
     fx, fy = _kernels_1d(dx, dy)
 
-    def kernel(dt_ref, prev_ref, cur_ref, next_ref, *out_refs):
+    def kernel(dt_ref, off_ref, prev_ref, cur_ref, next_ref, *out_refs):
         (x1e_ref, x2e_ref, phi_ref, sxx_ref, sxy_ref, syy_ref, j_ref,
          hf_ref, rho_ref, sbxx_ref, sbxy_ref, sbyy_ref) = out_refs
         t = pl.program_id(0)
@@ -270,8 +270,13 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
         dtype = u.dtype
 
         rows = tile + 2 * halo
+        # off_ref holds the GLOBAL row index of the input's row 0: 0 on a
+        # single device, (shard_start - exchange_halo) under the shard_map
+        # wrapper (parallel/sharding.py). Ny stays the GLOBAL row count so
+        # the valid/interior masks and the advection clamp see the true
+        # domain boundaries, not the shard's.
         grow = (
-            t * tile - halo
+            off_ref[0, 0] + t * tile - halo
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         )
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
@@ -351,12 +356,12 @@ def rmt_block_supported(Ny, num_layers, S):
     jax.jit,
     static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
                      "kappa", "rho_s", "rho_f", "stress_w_cut",
-                     "stress_clamp", "tile", "interpret"),
+                     "stress_clamp", "tile", "interpret", "Ny_total"),
 )
 def rmt_block_fused(
     u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
     rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=32,
-    interpret=False,
+    interpret=False, row_offset=None, Ny_total=None,
 ):
     """Fused advect→extrapolate→rebuild→stress→blend pipeline.
 
@@ -364,9 +369,19 @@ def rmt_block_fused(
     sig_sxx_el, sig_sxy_el, sig_syy_el) — everything the momentum step and
     the projection need from the solid machinery. ``phi_inits`` must be a
     (hashable) tuple of jnp-traceable callables.
+
+    ``row_offset`` / ``Ny_total`` support the shard_map wrapper
+    (parallel/sharding.py): the inputs are then one shard's rows plus an
+    exchanged halo, ``row_offset`` (dynamic, may be negative) is the global
+    row index of input row 0, and ``Ny_total`` the global row count. Rows
+    whose results depend on stale halo data lie > halo rows outside the
+    shard core and are sliced away by the wrapper — the same staleness
+    argument that makes the single-device prev/next block clamping exact.
     """
     S = X1s.shape[0]
     Ny, Nx = u.shape
+    if Ny_total is None:
+        Ny_total = Ny
     halo = 4 * num_layers + 4
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
@@ -379,6 +394,8 @@ def rmt_block_fused(
         [u[None], v[None], *[jnp.stack([X1s[i], X2s[i]]) for i in range(S)]]
     )
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    off_arr = (jnp.zeros((1, 1), jnp.int32) if row_offset is None
+               else jnp.asarray(row_offset, jnp.int32).reshape(1, 1))
     C = 2 + 2 * S
 
     grid = (Ny // t,)
@@ -386,7 +403,7 @@ def rmt_block_fused(
     block_prev = pl.BlockSpec((C, t, Nx), lambda i: (0, jnp.maximum(i - 1, 0), 0))
     block_next = pl.BlockSpec(
         (C, t, Nx), lambda i: (0, jnp.minimum(i + 1, grid[0] - 1), 0))
-    dt_spec = pl.BlockSpec(
+    scalar_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
     )
@@ -394,7 +411,7 @@ def rmt_block_fused(
     field_spec = pl.BlockSpec((t, Nx), lambda i: (i, 0))
 
     kernel = _make_kernel(
-        phi_inits, float(dx), float(dy), Ny, Nx, t, halo, num_layers,
+        phi_inits, float(dx), float(dy), Ny_total, Nx, t, halo, num_layers,
         float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
         float(stress_w_cut), float(stress_clamp))
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
@@ -402,12 +419,12 @@ def rmt_block_fused(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[dt_spec, block_prev, block, block_next],
+        in_specs=[scalar_spec, scalar_spec, block_prev, block, block_next],
         out_specs=(stack_spec,) * 7 + (field_spec,) * 5,
         out_shape=(stackS,) * 7 + (field,) * 5,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dt_arr, stacked, stacked, stacked)
+    )(dt_arr, off_arr, stacked, stacked, stacked)
     return outs

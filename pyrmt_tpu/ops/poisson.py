@@ -84,24 +84,62 @@ def dct1_matrix(N, dtype=jnp.float32):
     return jnp.asarray(C * w[None, :], dtype=dtype)
 
 
+def _dct1_fold_matrices(N, dtype):
+    """Even/odd half-size factor matrices (E, O) of the DCT-I matrix C.
+
+    The reflection n -> N-1-n flips the cosine's sign by (-1)^k, so folding
+    the input into e_n = x_n + x_{N-1-n} and o_n = x_n - x_{N-1-n} splits the
+    (N,N) transform into two independent (~N/2, ~N/2) matmuls — half the
+    MXU FLOPs for the same (bit-different, roundoff-equal) transform:
+    E = C[0::2, :ceil(N/2)] acts on e, O = C[1::2, :floor(N/2)] acts on o.
+    """
+    C = dct1_matrix(N, dtype)
+    no = N // 2
+    ne = N - no
+    return C[0::2, :ne], C[1::2, :no]
+
+
 def precompute_dct_matrices(Nx, Ny, dtype=jnp.float32):
-    """(Cy, Cx) transform matrices for the matmul DCT-I path."""
-    return dct1_matrix(Ny, dtype), dct1_matrix(Nx, dtype)
+    """(Ey, Oy, Ex, Ox) even/odd-folded transform matrices for the matmul
+    DCT-I path (see ``_dct1_fold_matrices``)."""
+    Ey, Oy = _dct1_fold_matrices(Ny, dtype)
+    Ex, Ox = _dct1_fold_matrices(Nx, dtype)
+    return Ey, Oy, Ex, Ox
 
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def _dct1_rows_folded(x, E, O):
+    """Folded DCT-I down the rows: interleave(E @ e, O @ o)."""
+    ne, no = E.shape[0], O.shape[0]
+    N = ne + no
+    xr = x[::-1][:no]
+    e = x[:no] + xr
+    if ne > no:  # odd N: the middle row pairs with itself
+        e = jnp.concatenate([e, x[no:no + 1]], axis=0)
+    o = x[:no] - xr
+    ye = _mm(E.astype(x.dtype), e)
+    yo = _mm(O.astype(x.dtype), o)
+    if ne > no:
+        yo = jnp.concatenate([yo, jnp.zeros_like(yo[:1])], axis=0)
+    return jnp.stack([ye, yo], axis=1).reshape(2 * ne, -1)[:N]
+
+
 def dct1_2d_matmul(x, mats):
-    """2D unnormalised DCT-I via two MXU matmuls: Cy @ x @ Cx^T."""
-    Cy, Cx = mats
-    return _mm(_mm(Cy.astype(x.dtype), x), Cx.astype(x.dtype).T)
+    """2D unnormalised DCT-I via four half-size MXU matmuls (one even/odd
+    folded pass per axis); same transform as ``dct1_2d`` to roundoff."""
+    Ey, Oy, Ex, Ox = mats
+    y = _dct1_rows_folded(x, Ey, Oy)
+    return _dct1_rows_folded(y.T, Ex, Ox).T
 
 
 def idct1_2d_matmul(x, mats):
-    Cy, Cx = mats
-    scale = 1.0 / (2.0 * (Cy.shape[0] - 1) * 2.0 * (Cx.shape[0] - 1))
+    Ey, Oy, Ex, Ox = mats
+    Ny = Ey.shape[0] + Oy.shape[0]
+    Nx = Ex.shape[0] + Ox.shape[0]
+    scale = 1.0 / (2.0 * (Ny - 1) * 2.0 * (Nx - 1))
     return dct1_2d_matmul(x, mats) * jnp.asarray(scale, x.dtype)
 
 

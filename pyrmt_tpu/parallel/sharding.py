@@ -57,11 +57,93 @@ def shard_state(state, mesh: Mesh):
     return jax.tree.map(jax.device_put, state, sh)
 
 
-def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None):
+def make_rmt_block_sharded(mesh: Mesh, Ny: int, num_layers: int,
+                           interpret=False):
+    """Per-shard fused Pallas RMT block under shard_map with explicit ICI
+    halo exchange.
+
+    GSPMD cannot partition a Pallas kernel, so the sharded step normally
+    falls back to the composed XLA ops for the whole solid pipeline — giving
+    up the fused kernel's ~1.8x. This wrapper recovers it: each device
+    ppermutes ``halo = 4*num_layers + 4`` boundary rows to its row-neighbours
+    (one bidirectional nearest-neighbour exchange per step, riding ICI),
+    runs the unchanged kernel on its padded slab with the global row offset,
+    and slices the halo back off. Edge shards receive zero halos, which the
+    kernel's global valid-mask treats exactly like the domain boundary.
+
+    Returns an ``rmt_block_impl`` for ``sim.make_step``. Requires the grid
+    rows to divide the mesh's row axis with local rows >= halo and the
+    padded slab to row-tile (see ``rmt_block_sharded_supported``).
+    """
+    import jax.numpy as jnp
+
+    gy = mesh.axis_names[0]
+    n = int(mesh.shape[gy])
+    local = Ny // n
+    halo = 4 * num_layers + 4
+    field = P(gy, None)
+    stack = P(None, gy, None)
+
+    def impl(u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t,
+             mu_s, kappa, rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0):
+        from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+
+        def body(u_l, v_l, X1_l, X2_l, dt_l):
+            idx = jax.lax.axis_index(gy)
+            fwd = [(i, i + 1) for i in range(n - 1)]
+            bwd = [(i + 1, i) for i in range(n - 1)]
+
+            def pad(f):
+                top = jax.lax.ppermute(f[..., -halo:, :], gy, fwd)
+                bot = jax.lax.ppermute(f[..., :halo, :], gy, bwd)
+                return jnp.concatenate([top, f, bot], axis=-2)
+
+            outs = rmt_block_fused(
+                pad(u_l), pad(v_l), pad(X1_l), pad(X2_l), dt_l,
+                phi_inits=phi_inits, dx=dx, dy=dy, num_layers=num_layers,
+                w_t=w_t, mu_s=mu_s, kappa=kappa, rho_s=rho_s, rho_f=rho_f,
+                stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
+                row_offset=idx * local - halo, Ny_total=Ny,
+                interpret=interpret,
+            )
+            return tuple(o[..., halo:-halo, :] for o in outs)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(field, field, stack, stack, P()),
+            out_specs=(stack,) * 7 + (field,) * 5,
+            check_vma=False,
+        )(u, v, X1s, X2s, dt)
+
+    return impl
+
+
+def rmt_block_sharded_supported(mesh: Mesh, Ny: int, num_layers: int, S: int):
+    """The sharded fused RMT block needs: rows divide the mesh row axis,
+    local rows >= the exchange halo, and the padded slab to row-tile."""
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_supported
+
+    n = int(mesh.shape[mesh.axis_names[0]])
+    if S < 1 or Ny % n:
+        return False
+    halo = 4 * num_layers + 4
+    local = Ny // n
+    return local >= halo and rmt_block_supported(local + 2 * halo,
+                                                 num_layers, S)
+
+
+def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
+                      rmt_method=None, interpret=None):
     """Jit the FSI step with explicit in/out shardings over ``mesh``.
 
     The step body is IDENTICAL to the single-chip one — the partitioner owns
     the collectives. Returns (step_fn, shard_fn).
+
+    ``rmt_method``: 'pallas' runs the fused RMT-block kernel per shard via
+    shard_map + ppermute halo exchange (make_rmt_block_sharded); 'xla' keeps
+    the composed ops (GSPMD inserts the halo exchanges itself); None picks
+    'pallas' on TPU when supported. ``interpret`` forces Pallas interpret
+    mode (CPU testing); defaults to True off-TPU.
     """
     import dataclasses
 
@@ -70,14 +152,33 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None):
     from pyrmt_tpu.sim import make_step
 
     dtype = dtype or jnp.float32
-    # Pallas kernels are single-device programs the SPMD partitioner cannot
-    # split; the sharded step always uses the pure-XLA paths (which partition
-    # into halo exchanges / collectives automatically).
+    S = len(phi_inits)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    supported = rmt_block_sharded_supported(
+        mesh, cfg.grid.Ny, cfg.num_layers, S)
+    if rmt_method is None:
+        rmt_method = "pallas" if (
+            jax.default_backend() == "tpu" and supported) else "xla"
+    if rmt_method == "pallas" and not supported:
+        raise ValueError("sharded Pallas RMT block unsupported for this "
+                         "mesh/grid; see rmt_block_sharded_supported")
+    rmt_impl = (
+        make_rmt_block_sharded(mesh, cfg.grid.Ny, cfg.num_layers,
+                               interpret=interpret)
+        if rmt_method == "pallas" else None
+    )
+
+    # Other Pallas kernels are single-device programs the SPMD partitioner
+    # cannot split; outside the shard_mapped RMT block the sharded step uses
+    # the pure-XLA paths (which partition into halo exchanges / collectives
+    # automatically).
     cfg = dataclasses.replace(
         cfg, extrap_method="xla", momentum_method="xla", rmt_method="xla",
         use_pallas_rhs=False,
     )
-    base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype)
+    base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
+                          rmt_block_impl=rmt_impl)
     sh = state_sharding(mesh)
     scalar = NamedSharding(mesh, P())
 

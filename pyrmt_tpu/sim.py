@@ -152,12 +152,18 @@ def make_step(
     velocity_bc: Callable,
     phi_inits: Sequence[Callable] = (),
     dtype=jnp.float32,
+    rmt_block_impl: Callable | None = None,
 ):
     """Build the jitted FSI step for a fixed configuration.
 
     ``phi_inits`` is one analytic level-set function per solid,
     phi_i = phi_inits[i](X1_i, X2_i); an empty sequence gives the pure-fluid
     solver. Returns ``step(state, t_end) -> (state, aux)``.
+
+    ``rmt_block_impl`` (optional) substitutes the fused RMT-block call with a
+    caller-provided implementation of the same signature — used by
+    parallel.make_sharded_step to run the Pallas kernel per shard under
+    shard_map. The caller is responsible for checking supportedness.
     """
     g = cfg.grid
     dx, dy = g.dx, g.dy
@@ -205,15 +211,21 @@ def make_step(
         rmt_method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if rmt_method not in ("xla", "pallas"):
         raise ValueError(f"unknown rmt_method {cfg.rmt_method!r}")
-    use_rmt_fused = (
-        rmt_method == "pallas"
-        and S >= 1
+    rmt_fusible = (
+        S >= 1
         and cfg.scheme == "semilagrangian"
         and cfg.sl_local
         and cfg.CFL < 1.0
         and cfg.reinit_method == "none"
-        and rmt_block_supported(g.Ny, cfg.num_layers, S)
     )
+    if rmt_block_impl is not None:
+        use_rmt_fused = rmt_fusible
+    else:
+        use_rmt_fused = (
+            rmt_method == "pallas"
+            and rmt_fusible
+            and rmt_block_supported(g.Ny, cfg.num_layers, S)
+        )
 
     extrap_method = cfg.extrap_method
     if extrap_method == "auto":
@@ -259,8 +271,9 @@ def make_step(
             from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
             from pyrmt_tpu.physics import external_forces, momentum_core
 
+            rmt_fn = rmt_block_impl if rmt_block_impl is not None else rmt_block_fused
             (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
-             sb_xx, sb_xy, sb_yy) = rmt_block_fused(
+             sb_xx, sb_xy, sb_yy) = rmt_fn(
                 u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits), dx=dx, dy=dy,
                 num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=cfg.mu_s,
                 kappa=cfg.kappa, rho_s=cfg.rho_s, rho_f=cfg.rho_f,

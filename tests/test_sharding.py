@@ -57,3 +57,54 @@ def test_driver_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_pallas_rmt_block_matches_single_device():
+    """The shard_map fast path (fused Pallas RMT block per shard + ppermute
+    halo exchange, interpret mode on CPU) equals the single-device XLA step
+    to roundoff over multiple steps."""
+    from jax.sharding import Mesh
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, mu_f=0.01, rho_f=1.0,
+                    rho_s=1.0, num_layers=3, CFL=0.2, dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+
+    step1 = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+
+    # 4-way ROW sharding: local rows 16 == exchange halo (4*3+4)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("gy", "gx"))
+    from pyrmt_tpu.parallel.sharding import rmt_block_sharded_supported
+
+    assert rmt_block_sharded_supported(mesh, g.Ny, cfg.num_layers, 1)
+    stepN, shard = make_sharded_step(
+        cfg, free_slip_box_bc, (phi_init,), mesh, dtype=jnp.float64,
+        rmt_method="pallas", interpret=True)
+
+    ref, sh_state = state, shard(state)
+    t_end = jnp.asarray(1.0)
+    for _ in range(2):
+        ref, _ = step1(ref, t_end)
+        sh_state, _ = stepN(sh_state, t_end)
+
+    assert np.allclose(np.asarray(sh_state.u), np.asarray(ref.u), atol=1e-10)
+    assert np.allclose(np.asarray(sh_state.p), np.asarray(ref.p), atol=1e-10)
+    assert np.allclose(np.asarray(sh_state.X1), np.asarray(ref.X1), atol=1e-11)
+    assert np.allclose(np.asarray(sh_state.X2), np.asarray(ref.X2), atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_pallas_unsupported_mesh_raises():
+    from jax.sharding import Mesh
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, num_layers=3)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    # 8-way row sharding -> local rows 8 < halo 16: unsupported
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("gy", "gx"))
+    with pytest.raises(ValueError):
+        make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
+                          dtype=jnp.float64, rmt_method="pallas",
+                          interpret=True)
