@@ -89,7 +89,8 @@ def _apply_bc(u, v, bc_spec, grow, gcol, Ny, Nx, dtype):
 def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
     use_kv = eta_s > 0.0
 
-    def kernel(dt_ref, prev_ref, cur_ref, next_ref, out_u_ref, out_v_ref):
+    def kernel(dt_ref, off_ref, prev_ref, cur_ref, next_ref,
+               out_u_ref, out_v_ref):
         t = pl.program_id(0)
         dt = dt_ref[0, 0]
         top = prev_ref[:, tile - _HALO :, :]
@@ -100,8 +101,11 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
         ]
         dtype = u0.dtype
         rows = tile + 2 * _HALO
+        # off_ref: GLOBAL row index of input row 0 (0 single-device; shard
+        # start minus exchange halo under the shard_map wrapper) — keeps the
+        # BC masks and one-sided closures anchored to the true domain edges.
         grow = (
-            t * tile - _HALO
+            off_ref[0, 0] + t * tile - _HALO
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         )
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
@@ -169,20 +173,26 @@ def momentum_rk4_supported(velocity_bc, Ny):
 @partial(
     jax.jit,
     static_argnames=("dx", "dy", "mu_f", "eta_s", "bc_spec", "tile",
-                     "interpret"),
+                     "interpret", "Ny_total"),
 )
 def momentum_rk4_pallas(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s, bc_spec,
-    tile=32, interpret=False,
+    tile=32, interpret=False, row_offset=None, Ny_total=None,
 ):
     """Fused full-RK4 momentum update. Returns (u_new, v_new).
 
     All array args are (Ny, Nx); ``mkv`` is the summed Kelvin-Voigt blend
     mask sum_i solid_mask_i*(1-H_i); ``bc_spec`` a static tuple like
     ('lid', 1.0) / ('free_slip',) / ('noop',).
+
+    ``row_offset`` / ``Ny_total`` support the shard_map wrapper
+    (parallel/sharding.py) — see kernels/rmt_block.py for the staleness
+    argument that makes halo-padded per-shard slabs exact.
     """
     Ny, Nx = u.shape
+    if Ny_total is None:
+        Ny_total = Ny
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
         t //= 2
@@ -196,6 +206,8 @@ def momentum_rk4_pallas(
         Hf + z, rho_local + z, f_ext_x + z, f_ext_y + z, mkv + z,
     ])
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    off_arr = (jnp.zeros((1, 1), jnp.int32) if row_offset is None
+               else jnp.asarray(row_offset, jnp.int32).reshape(1, 1))
 
     grid = (Ny // t,)
     block = pl.BlockSpec((_NFIELDS, t, Nx), lambda i: (0, i, 0))
@@ -203,18 +215,19 @@ def momentum_rk4_pallas(
         (_NFIELDS, t, Nx), lambda i: (0, jnp.maximum(i - 1, 0), 0))
     block_next = pl.BlockSpec(
         (_NFIELDS, t, Nx), lambda i: (0, jnp.minimum(i + 1, grid[0] - 1), 0))
-    dt_spec = pl.BlockSpec(
+    scalar_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
     )
     out_spec = pl.BlockSpec((t, Nx), lambda i: (i, 0))
 
     kernel = _make_kernel(
-        float(dx), float(dy), float(mu_f), float(eta_s), Ny, Nx, t, bc_spec)
+        float(dx), float(dy), float(mu_f), float(eta_s), Ny_total, Nx, t,
+        bc_spec)
     u_new, v_new = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[dt_spec, block_prev, block, block_next],
+        in_specs=[scalar_spec, scalar_spec, block_prev, block, block_next],
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((Ny, Nx), dtype),
@@ -224,5 +237,5 @@ def momentum_rk4_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dt_arr, stacked, stacked, stacked)
+    )(dt_arr, off_arr, stacked, stacked, stacked)
     return u_new, v_new

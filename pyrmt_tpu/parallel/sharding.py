@@ -118,6 +118,62 @@ def make_rmt_block_sharded(mesh: Mesh, Ny: int, num_layers: int,
     return impl
 
 
+def make_momentum_rk4_sharded(mesh: Mesh, Ny: int, interpret=False):
+    """Per-shard fused full-RK4 momentum kernel under shard_map (the
+    momentum twin of make_rmt_block_sharded; 8-row halo exchange)."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.kernels.momentum_rk4 import _HALO
+
+    gy = mesh.axis_names[0]
+    n = int(mesh.shape[gy])
+    local = Ny // n
+    halo = _HALO
+    field = P(gy, None)
+
+    def impl(u, v, p, sxx, sxy, syy, Hf, rho, fx, fy, mkv,
+             dt, dx, dy, mu_f, eta_s, bc_spec):
+        from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
+
+        def body(*args):
+            fields, dt_l = args[:-1], args[-1]
+            idx = jax.lax.axis_index(gy)
+            fwd = [(i, i + 1) for i in range(n - 1)]
+            bwd = [(i + 1, i) for i in range(n - 1)]
+
+            def pad(f):
+                top = jax.lax.ppermute(f[-halo:, :], gy, fwd)
+                bot = jax.lax.ppermute(f[:halo, :], gy, bwd)
+                return jnp.concatenate([top, f, bot], axis=0)
+
+            u_new, v_new = momentum_rk4_pallas(
+                *[pad(f) for f in fields], dt_l, dx, dy, mu_f, eta_s,
+                bc_spec, row_offset=idx * local - halo, Ny_total=Ny,
+                interpret=interpret,
+            )
+            return u_new[halo:-halo, :], v_new[halo:-halo, :]
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(field,) * 11 + (P(),),
+            out_specs=(field, field),
+            check_vma=False,
+        )(u, v, p, sxx, sxy, syy, Hf, rho, fx, fy, mkv, dt)
+
+    return impl
+
+
+def momentum_rk4_sharded_supported(mesh: Mesh, Ny: int, velocity_bc):
+    from pyrmt_tpu.kernels.momentum_rk4 import _HALO, momentum_rk4_supported
+
+    n = int(mesh.shape[mesh.axis_names[0]])
+    if Ny % n or getattr(velocity_bc, "kernel_spec", None) is None:
+        return False
+    local = Ny // n
+    return local >= _HALO and momentum_rk4_supported(
+        velocity_bc, local + 2 * _HALO)
+
+
 def rmt_block_sharded_supported(mesh: Mesh, Ny: int, num_layers: int, S: int):
     """The sharded fused RMT block needs: rows divide the mesh row axis,
     local rows >= the exchange halo, and the padded slab to row-tile."""
@@ -142,8 +198,10 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
     ``rmt_method``: 'pallas' runs the fused RMT-block kernel per shard via
     shard_map + ppermute halo exchange (make_rmt_block_sharded); 'xla' keeps
     the composed ops (GSPMD inserts the halo exchanges itself); None picks
-    'pallas' on TPU when supported. ``interpret`` forces Pallas interpret
-    mode (CPU testing); defaults to True off-TPU.
+    'pallas' on TPU when supported. The fused full-RK4 momentum kernel
+    follows the same choice (make_momentum_rk4_sharded) when the BC carries
+    a kernel_spec. ``interpret`` forces Pallas interpret mode (CPU testing);
+    defaults to True off-TPU.
     """
     import dataclasses
 
@@ -168,9 +226,15 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
                                interpret=interpret)
         if rmt_method == "pallas" else None
     )
+    mom_impl = (
+        make_momentum_rk4_sharded(mesh, cfg.grid.Ny, interpret=interpret)
+        if rmt_method == "pallas" and momentum_rk4_sharded_supported(
+            mesh, cfg.grid.Ny, velocity_bc)
+        else None
+    )
 
     # Other Pallas kernels are single-device programs the SPMD partitioner
-    # cannot split; outside the shard_mapped RMT block the sharded step uses
+    # cannot split; outside the shard_mapped regions the sharded step uses
     # the pure-XLA paths (which partition into halo exchanges / collectives
     # automatically).
     cfg = dataclasses.replace(
@@ -178,7 +242,8 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
         use_pallas_rhs=False,
     )
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
-                          rmt_block_impl=rmt_impl)
+                          rmt_block_impl=rmt_impl,
+                          momentum_rk4_impl=mom_impl)
     sh = state_sharding(mesh)
     scalar = NamedSharding(mesh, P())
 

@@ -126,7 +126,7 @@ def momentum_step_rk4_multi(
     u, v, p, X1s, X2s, phis, velocity_bc, *,
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
-    use_pallas_rhs=False, use_pallas_rk4=False,
+    use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
 ):
     """Generic n-solid RK4 momentum step.
 
@@ -165,7 +165,7 @@ def momentum_step_rk4_multi(
         u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
         f_ext_x, f_ext_y, mkv, velocity_bc, eta_s=eta_s, dx=dx, dy=dy,
         dt=dt, mu_f=mu_f, use_pallas_rhs=use_pallas_rhs,
-        use_pallas_rk4=use_pallas_rk4,
+        use_pallas_rk4=use_pallas_rk4, pallas_rk4_fn=pallas_rk4_fn,
     )
     return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
 
@@ -173,7 +173,7 @@ def momentum_step_rk4_multi(
 def momentum_core(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, velocity_bc, *, eta_s, dx, dy, dt, mu_f,
-    use_pallas_rhs=False, use_pallas_rk4=False,
+    use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
 ):
     """RK4 velocity update from pre-blended fields.
 
@@ -185,10 +185,13 @@ def momentum_core(
 
     if use_pallas_rk4:
         # fused full-RK4 Pallas kernel: all four stages + per-stage BCs in
-        # one VMEM-resident pass (requires a BC with a kernel_spec)
+        # one VMEM-resident pass (requires a BC with a kernel_spec);
+        # pallas_rk4_fn substitutes a caller-provided twin (the shard_map
+        # per-shard wrapper from parallel/sharding.py)
         from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
 
-        return momentum_rk4_pallas(
+        fn = pallas_rk4_fn if pallas_rk4_fn is not None else momentum_rk4_pallas
+        return fn(
             u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
             f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s,
             velocity_bc.kernel_spec,

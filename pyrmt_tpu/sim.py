@@ -153,6 +153,7 @@ def make_step(
     phi_inits: Sequence[Callable] = (),
     dtype=jnp.float32,
     rmt_block_impl: Callable | None = None,
+    momentum_rk4_impl: Callable | None = None,
 ):
     """Build the jitted FSI step for a fixed configuration.
 
@@ -160,9 +161,10 @@ def make_step(
     phi_i = phi_inits[i](X1_i, X2_i); an empty sequence gives the pure-fluid
     solver. Returns ``step(state, t_end) -> (state, aux)``.
 
-    ``rmt_block_impl`` (optional) substitutes the fused RMT-block call with a
-    caller-provided implementation of the same signature — used by
-    parallel.make_sharded_step to run the Pallas kernel per shard under
+    ``rmt_block_impl`` / ``momentum_rk4_impl`` (optional) substitute the
+    fused RMT-block / full-RK4-momentum kernel calls with caller-provided
+    implementations of the same signatures — used by
+    parallel.make_sharded_step to run the Pallas kernels per shard under
     shard_map. The caller is responsible for checking supportedness.
     """
     g = cfg.grid
@@ -196,11 +198,16 @@ def make_step(
     # S == 0 keeps the XLA momentum: with no solid the blends are constants
     # (sigma_el = 0, Hf = 1, rho = rho_f) and XLA constant-folds most of the
     # RHS — measured 2.2x faster than the kernel's full-work pass at N=1024.
-    use_pallas_rk4 = (
-        momentum_method == "pallas"
-        and S > 0
-        and momentum_rk4_supported(velocity_bc, g.Ny)
-    )
+    if momentum_rk4_impl is not None:
+        use_pallas_rk4 = (
+            S > 0 and getattr(velocity_bc, "kernel_spec", None) is not None
+        )
+    else:
+        use_pallas_rk4 = (
+            momentum_method == "pallas"
+            and S > 0
+            and momentum_rk4_supported(velocity_bc, g.Ny)
+        )
     if momentum_method not in ("xla", "pallas"):
         raise ValueError(f"unknown momentum_method {cfg.momentum_method!r}")
 
@@ -303,6 +310,7 @@ def make_step(
                 dx=dx, dy=dy, dt=dt, mu_f=cfg.mu_f,
                 use_pallas_rhs=cfg.use_pallas_rhs,
                 use_pallas_rk4=use_pallas_rk4,
+                pallas_rk4_fn=momentum_rk4_impl,
             )
 
             u_new, v_new, p_new = pressure_projection(
@@ -403,6 +411,7 @@ def make_step(
             w_t=cfg.w_t, gamma=cfg.gamma, stress_w_cut=stress_w_cut,
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
             use_pallas_rhs=cfg.use_pallas_rhs, use_pallas_rk4=use_pallas_rk4,
+            pallas_rk4_fn=momentum_rk4_impl,
         )
 
         # (6) projection with the mixture density

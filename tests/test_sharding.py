@@ -76,9 +76,15 @@ def test_sharded_pallas_rmt_block_matches_single_device():
 
     # 4-way ROW sharding: local rows 16 == exchange halo (4*3+4)
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("gy", "gx"))
-    from pyrmt_tpu.parallel.sharding import rmt_block_sharded_supported
+    from pyrmt_tpu.parallel.sharding import (
+        momentum_rk4_sharded_supported,
+        rmt_block_sharded_supported,
+    )
 
     assert rmt_block_sharded_supported(mesh, g.Ny, cfg.num_layers, 1)
+    # the fused full-RK4 momentum kernel must also engage per shard here —
+    # otherwise this test silently stops covering it
+    assert momentum_rk4_sharded_supported(mesh, g.Ny, free_slip_box_bc)
     stepN, shard = make_sharded_step(
         cfg, free_slip_box_bc, (phi_init,), mesh, dtype=jnp.float64,
         rmt_method="pallas", interpret=True)
