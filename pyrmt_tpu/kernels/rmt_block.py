@@ -254,7 +254,8 @@ def _heaviside(x, w_t):
 
 
 def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
-                 w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp):
+                 w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp,
+                 tile_skip):
     S = len(phi_inits)
     fx, fy = _kernels_1d(dx, dy)
 
@@ -280,67 +281,130 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         )
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
-        gy = grow.astype(dtype)
-        gx = gcol.astype(dtype)
-        valid = (grow >= 0) & (grow <= Ny - 1)
+        # broadcast the coordinate/mask arrays to full (rows, Nx) up front:
+        # Mosaic's scf.if layout pass (the tile_skip branches below) crashes
+        # on (rows,1)/(1,Nx)-shaped vectors inside the regions
+        zf = jnp.zeros((rows, Nx), dtype)
+        gy = grow.astype(dtype) + zf
+        gx = gcol.astype(dtype) + zf
+        valid = (grow >= 0) & (grow <= Ny - 1) & (gcol < Nx)
         interior = (grow > 0) & (grow < Ny - 1) & (gcol > 0) & (gcol < Nx - 1)
 
-        # shared RK4 backtrace displacement for ALL 2S components
         sl = tile
-        Hf_acc = None
-        one_mH_sum = None
-        sb_xx = sb_xy = sb_yy = None
+        qs_all = []
         for i in range(S):
             X1 = F[2 + 2 * i]
             X2 = F[3 + 2 * i]
             phi = phi_inits[i](X1, X2).astype(dtype)
             mask = (phi <= 0.0).astype(dtype)
             known = valid & (phi < 0.0)
-
-            if i == 0:
-                qs_all = []
             qs_all.append((X1, X2, phi, mask, known))
 
-        # one backtrace, applied to every component
-        comps = []
+        def full_path():
+            # one RK4 backtrace, applied to every component
+            comps = []
+            for (X1, X2, phi, mask, known) in qs_all:
+                comps.extend([X1, X2])
+            adv = _advect_sl_rk4(comps, u, v, dt, dx, dy, gx, gy, Nx, Ny)
+
+            Hf_acc = None
+            one_mH_sum = None
+            sb_xx = sb_xy = sb_yy = None
+            for i, (X1, X2, phi, mask, known) in enumerate(qs_all):
+                X1a = adv[2 * i] * mask
+                X2a = adv[2 * i + 1] * mask
+                kf0 = jnp.where(
+                    known, jnp.ones((), dtype), jnp.zeros((), dtype))
+                X1e, X2e = _extrap_sweeps(
+                    X1a, X2a, kf0, fx, fy, interior, num_layers)
+                phi2 = phi_inits[i](X1e, X2e).astype(dtype)
+                sxx, sxy, syy, J = _stress(
+                    X1e, X2e, phi2, dx, dy, mu_s, kappa,
+                    stress_w_cut, stress_clamp, interior)
+                H = _heaviside(phi2, w_t)
+                one_mH = 1.0 - H
+
+                x1e_ref[i, ...] = X1e[halo : halo + sl, :]
+                x2e_ref[i, ...] = X2e[halo : halo + sl, :]
+                phi_ref[i, ...] = phi2[halo : halo + sl, :]
+                sxx_ref[i, ...] = sxx[halo : halo + sl, :]
+                sxy_ref[i, ...] = sxy[halo : halo + sl, :]
+                syy_ref[i, ...] = syy[halo : halo + sl, :]
+                j_ref[i, ...] = J[halo : halo + sl, :]
+
+                Hf_acc = H if Hf_acc is None else Hf_acc + H
+                one_mH_sum = (
+                    one_mH if one_mH_sum is None else one_mH_sum + one_mH)
+                sb_xx = (one_mH * sxx if sb_xx is None
+                         else sb_xx + one_mH * sxx)
+                sb_xy = (one_mH * sxy if sb_xy is None
+                         else sb_xy + one_mH * sxy)
+                sb_yy = (one_mH * syy if sb_yy is None
+                         else sb_yy + one_mH * syy)
+
+            Hf = Hf_acc - (S - 1.0)
+            rho_local = Hf * rho_f + one_mH_sum * rho_s
+            hf_ref[...] = Hf[halo : halo + sl, :]
+            rho_ref[...] = rho_local[halo : halo + sl, :]
+            sbxx_ref[...] = sb_xx[halo : halo + sl, :]
+            sbxy_ref[...] = sb_xy[halo : halo + sl, :]
+            sbyy_ref[...] = sb_yy[halo : halo + sl, :]
+
+        if not tile_skip:
+            full_path()
+            return
+
+        # Tile-activity skip: when NO in-domain cell of the padded slab has
+        # phi <= 0 for any solid, the full pipeline collapses exactly —
+        # mask == 0 everywhere forces X1a = X2a = 0, the extrapolation
+        # frontier is empty (no known cells), so X1e = X2e = 0; the rebuild
+        # is phi_init(0, 0); the zero map has detG = 0, so the stress is 0
+        # and J = 1; the blends reduce to H(phi_init(0,0)). The cheap branch
+        # below computes precisely those values with the same ops on the
+        # same inputs, so the skip is numerically EXACT, not approximate
+        # (pinned vs the XLA path in tests/test_pallas.py with an off-center
+        # disc so both branches execute).
+        any_solid = None
         for (X1, X2, phi, mask, known) in qs_all:
-            comps.extend([X1, X2])
-        adv = _advect_sl_rk4(comps, u, v, dt, dx, dy, gx, gy, Nx, Ny)
+            a = jnp.any(valid & (phi <= 0.0))
+            any_solid = a if any_solid is None else (any_solid | a)
 
-        for i, (X1, X2, phi, mask, known) in enumerate(qs_all):
-            X1a = adv[2 * i] * mask
-            X2a = adv[2 * i + 1] * mask
-            kf0 = jnp.where(known, jnp.ones((), dtype), jnp.zeros((), dtype))
-            X1e, X2e = _extrap_sweeps(
-                X1a, X2a, kf0, fx, fy, interior, num_layers)
-            phi2 = phi_inits[i](X1e, X2e).astype(dtype)
-            sxx, sxy, syy, J = _stress(
-                X1e, X2e, phi2, dx, dy, mu_s, kappa,
-                stress_w_cut, stress_clamp, interior)
-            H = _heaviside(phi2, w_t)
-            one_mH = 1.0 - H
+        pl.when(any_solid)(full_path)
 
-            x1e_ref[i, ...] = X1e[halo : halo + sl, :]
-            x2e_ref[i, ...] = X2e[halo : halo + sl, :]
-            phi_ref[i, ...] = phi2[halo : halo + sl, :]
-            sxx_ref[i, ...] = sxx[halo : halo + sl, :]
-            sxy_ref[i, ...] = sxy[halo : halo + sl, :]
-            syy_ref[i, ...] = syy[halo : halo + sl, :]
-            j_ref[i, ...] = J[halo : halo + sl, :]
-
-            Hf_acc = H if Hf_acc is None else Hf_acc + H
-            one_mH_sum = one_mH if one_mH_sum is None else one_mH_sum + one_mH
-            sb_xx = one_mH * sxx if sb_xx is None else sb_xx + one_mH * sxx
-            sb_xy = one_mH * sxy if sb_xy is None else sb_xy + one_mH * sxy
-            sb_yy = one_mH * syy if sb_yy is None else sb_yy + one_mH * syy
-
-        Hf = Hf_acc - (S - 1.0)
-        rho_local = Hf * rho_f + one_mH_sum * rho_s
-        hf_ref[...] = Hf[halo : halo + sl, :]
-        rho_ref[...] = rho_local[halo : halo + sl, :]
-        sbxx_ref[...] = sb_xx[halo : halo + sl, :]
-        sbxy_ref[...] = sb_xy[halo : halo + sl, :]
-        sbyy_ref[...] = sb_yy[halo : halo + sl, :]
+        @pl.when(jnp.logical_not(any_solid))
+        def _skip_path():
+            # CORE-sized computation throughout: slicing a splat-derived
+            # array (phi_init of a constant) inside the scf.if region
+            # crashes Mosaic's vector-layout pass — and the slab rows are
+            # constant here anyway. The zeros fed to phi_init are made
+            # data-dependent (u * 0) so the rebuild runs the same VPU ops
+            # as the full path instead of being constant-folded at a
+            # different precision (observed 1-ulp phi drift otherwise).
+            ones_c = jnp.ones((sl, Nx), dtype)
+            zeros_c = u[halo : halo + sl, :] * 0.0
+            Hf_acc = None
+            one_mH_sum = None
+            for i in range(S):
+                phi2 = phi_inits[i](zeros_c, zeros_c).astype(dtype)
+                H = _heaviside(phi2, w_t)
+                x1e_ref[i, ...] = zeros_c
+                x2e_ref[i, ...] = zeros_c
+                phi_ref[i, ...] = phi2
+                sxx_ref[i, ...] = zeros_c
+                sxy_ref[i, ...] = zeros_c
+                syy_ref[i, ...] = zeros_c
+                j_ref[i, ...] = ones_c
+                Hf_acc = H if Hf_acc is None else Hf_acc + H
+                one_mH = 1.0 - H
+                one_mH_sum = (
+                    one_mH if one_mH_sum is None else one_mH_sum + one_mH)
+            Hf = Hf_acc - (S - 1.0)
+            rho_local = Hf * rho_f + one_mH_sum * rho_s
+            hf_ref[...] = Hf
+            rho_ref[...] = rho_local
+            sbxx_ref[...] = zeros_c
+            sbxy_ref[...] = zeros_c
+            sbyy_ref[...] = zeros_c
 
     return kernel
 
@@ -356,12 +420,13 @@ def rmt_block_supported(Ny, num_layers, S):
     jax.jit,
     static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
                      "kappa", "rho_s", "rho_f", "stress_w_cut",
-                     "stress_clamp", "tile", "interpret", "Ny_total"),
+                     "stress_clamp", "tile", "interpret", "Ny_total",
+                     "tile_skip"),
 )
 def rmt_block_fused(
     u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
     rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=32,
-    interpret=False, row_offset=None, Ny_total=None,
+    interpret=False, row_offset=None, Ny_total=None, tile_skip=True,
 ):
     """Fused advect→extrapolate→rebuild→stress→blend pipeline.
 
@@ -413,7 +478,7 @@ def rmt_block_fused(
     kernel = _make_kernel(
         phi_inits, float(dx), float(dy), Ny_total, Nx, t, halo, num_layers,
         float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
-        float(stress_w_cut), float(stress_clamp))
+        float(stress_w_cut), float(stress_clamp), bool(tile_skip))
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
     field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
     outs = pl.pallas_call(

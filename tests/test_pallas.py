@@ -169,3 +169,35 @@ def test_rmt_block_fused_matches_composed_ops():
         assert np.allclose(np.asarray(sx.X1), np.asarray(sp.X1), atol=1e-13)
     finally:
         rb.rmt_block_fused = orig
+
+
+def test_rmt_block_tile_skip_exact():
+    """The tile-activity skip (solid-free row tiles take the cheap branch)
+    is numerically EXACT: with an off-center disc leaving half the row
+    tiles solid-free, tile_skip=True equals tile_skip=False bitwise on all
+    12 outputs (f64 interpret mode)."""
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+
+    Ny = Nx = 128
+    phi_init = (
+        lambda X, Y: jnp.sqrt((X - 0.5) ** 2 + (Y - 0.125) ** 2) - 0.1)
+    dx = dy = 1.0 / (Nx - 1)
+    X, Y = jnp.meshgrid(jnp.arange(Nx) * dx, jnp.arange(Ny) * dy)
+    X1 = (X + 0.003 * jnp.sin(2 * jnp.pi * Y)).astype(jnp.float64)
+    X2 = (Y - 0.002 * jnp.cos(2 * jnp.pi * X)).astype(jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 0.2 * dx / 0.3
+
+    # solid occupies rows ~3..28 only: tiles 2 and 3 (of 4) are solid-free
+    phi = np.asarray(phi_init(X1, X2))
+    act = np.where((phi <= 0).any(axis=1))[0]
+    assert act.max() < 2 * 32 - 16, "setup must leave skippable tiles"
+
+    kw = dict(phi_inits=(phi_init,), dx=dx, dy=dy, num_layers=3, w_t=3 * dx,
+              mu_s=0.1, kappa=1.0, rho_s=1.0, rho_f=1.0, stress_w_cut=3 * dx,
+              stress_clamp=4.0, interpret=True)
+    a = rmt_block_fused(u, v, X1[None], X2[None], dt, tile_skip=True, **kw)
+    b = rmt_block_fused(u, v, X1[None], X2[None], dt, tile_skip=False, **kw)
+    for x, y in zip(a, b):
+        assert float(jnp.max(jnp.abs(x - y))) == 0.0
