@@ -110,6 +110,11 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
         )
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
         inv_rho = 1.0 / (rho + 1e-12)
+        # stage-constant: the pressure gradient is identical across the four
+        # RK4 stages — compute it once (the summation order inside rhs is
+        # unchanged, so results stay bitwise identical)
+        dp_dx = _grad_x(p, dx)
+        dp_dy = _grad_y_masked(p, dy, grow, Ny)
 
         def rhs(us, vs):
             us, vs = _apply_bc(us, vs, bc_spec, grow, gcol, Ny, Nx, dtype)
@@ -134,9 +139,6 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
                 us, vs, dy, grow, Ny)
             v_adv = -us * _upwind_x(vs, us, dx) - vs * _upwind_y_masked(
                 vs, vs, dy, grow, Ny)
-
-            dp_dx = _grad_x(p, dx)
-            dp_dy = _grad_y_masked(p, dy, grow, Ny)
 
             return (
                 u_adv + (div_x + fx - dp_dx) * inv_rho,

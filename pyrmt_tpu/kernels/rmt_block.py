@@ -253,6 +253,23 @@ def _heaviside(x, w_t):
     return H
 
 
+def _panel_width(Nx):
+    """Column-panel width: full-width at Nx <= 1024, else the
+    power-of-two-reduced width <= 512 dividing Nx.
+
+    Bounds the per-branch temporaries of the tile_skip scf.if: full-width
+    branches exceed XLA's 16 MB scoped-vmem stack above Nx = 1024
+    (observed OOM at N = 2048; 1024-wide panels still landed 248 KB over
+    inside the full-step program). Narrower panels also skip solid-free
+    COLUMN ranges, not just rows."""
+    if Nx <= 1024:
+        return Nx
+    pw = Nx
+    while pw > 512 and pw % 2 == 0:
+        pw //= 2
+    return pw
+
+
 def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
                  w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp,
                  tile_skip):
@@ -280,131 +297,168 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
             off_ref[0, 0] + t * tile - halo
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         )
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
-        # broadcast the coordinate/mask arrays to full (rows, Nx) up front:
-        # Mosaic's scf.if layout pass (the tile_skip branches below) crashes
-        # on (rows,1)/(1,Nx)-shaped vectors inside the regions
-        zf = jnp.zeros((rows, Nx), dtype)
-        gy = grow.astype(dtype) + zf
-        gx = gcol.astype(dtype) + zf
-        valid = (grow >= 0) & (grow <= Ny - 1) & (gcol < Nx)
-        interior = (grow > 0) & (grow < Ny - 1) & (gcol > 0) & (gcol < Nx - 1)
-
         sl = tile
-        qs_all = []
-        for i in range(S):
-            X1 = F[2 + 2 * i]
-            X2 = F[3 + 2 * i]
-            phi = phi_inits[i](X1, X2).astype(dtype)
-            mask = (phi <= 0.0).astype(dtype)
-            known = valid & (phi < 0.0)
-            qs_all.append((X1, X2, phi, mask, known))
 
-        def full_path():
-            # one RK4 backtrace, applied to every component
-            comps = []
-            for (X1, X2, phi, mask, known) in qs_all:
-                comps.extend([X1, X2])
-            adv = _advect_sl_rk4(comps, u, v, dt, dx, dy, gx, gy, Nx, Ny)
+        # Column panels: each panel processes cols [c0, c1) from a slice
+        # widened by the same halo on each side (the whole row slab is
+        # VMEM-resident, so the x-halo is just a wider slice of exact
+        # data; cols near the widened edge go progressively stale across
+        # the in-panel sweeps exactly like rows near the slab edge, and
+        # the core cols written out are > halo away). EVERYTHING beyond
+        # the raw input channels is computed per panel at panel width:
+        # full-width precomputed fields stay live across the whole panel
+        # loop and blow XLA's 16 MB scoped-vmem stack above Nx = 1024
+        # (observed at N = 2048).
+        npan = max(1, Nx // _panel_width(Nx))
 
-            Hf_acc = None
-            one_mH_sum = None
-            sb_xx = sb_xy = sb_yy = None
-            for i, (X1, X2, phi, mask, known) in enumerate(qs_all):
-                X1a = adv[2 * i] * mask
-                X2a = adv[2 * i + 1] * mask
-                kf0 = jnp.where(
-                    known, jnp.ones((), dtype), jnp.zeros((), dtype))
-                X1e, X2e = _extrap_sweeps(
-                    X1a, X2a, kf0, fx, fy, interior, num_layers)
-                phi2 = phi_inits[i](X1e, X2e).astype(dtype)
-                sxx, sxy, syy, J = _stress(
-                    X1e, X2e, phi2, dx, dy, mu_s, kappa,
-                    stress_w_cut, stress_clamp, interior)
-                H = _heaviside(phi2, w_t)
-                one_mH = 1.0 - H
+        for pidx in range(npan):
+            pw = Nx // npan
+            c0 = pidx * pw
+            c1 = c0 + pw
+            lo = max(c0 - halo, 0)
+            hi = min(c1 + halo, Nx)
+            o0 = c0 - lo
 
-                x1e_ref[i, ...] = X1e[halo : halo + sl, :]
-                x2e_ref[i, ...] = X2e[halo : halo + sl, :]
-                phi_ref[i, ...] = phi2[halo : halo + sl, :]
-                sxx_ref[i, ...] = sxx[halo : halo + sl, :]
-                sxy_ref[i, ...] = sxy[halo : halo + sl, :]
-                syy_ref[i, ...] = syy[halo : halo + sl, :]
-                j_ref[i, ...] = J[halo : halo + sl, :]
+            def slc(a):
+                return a[:, lo:hi] if npan > 1 else a
 
-                Hf_acc = H if Hf_acc is None else Hf_acc + H
-                one_mH_sum = (
-                    one_mH if one_mH_sum is None else one_mH_sum + one_mH)
-                sb_xx = (one_mH * sxx if sb_xx is None
-                         else sb_xx + one_mH * sxx)
-                sb_xy = (one_mH * sxy if sb_xy is None
-                         else sb_xy + one_mH * sxy)
-                sb_yy = (one_mH * syy if sb_yy is None
-                         else sb_yy + one_mH * syy)
-
-            Hf = Hf_acc - (S - 1.0)
-            rho_local = Hf * rho_f + one_mH_sum * rho_s
-            hf_ref[...] = Hf[halo : halo + sl, :]
-            rho_ref[...] = rho_local[halo : halo + sl, :]
-            sbxx_ref[...] = sb_xx[halo : halo + sl, :]
-            sbxy_ref[...] = sb_xy[halo : halo + sl, :]
-            sbyy_ref[...] = sb_yy[halo : halo + sl, :]
-
-        if not tile_skip:
-            full_path()
-            return
-
-        # Tile-activity skip: when NO in-domain cell of the padded slab has
-        # phi <= 0 for any solid, the full pipeline collapses exactly —
-        # mask == 0 everywhere forces X1a = X2a = 0, the extrapolation
-        # frontier is empty (no known cells), so X1e = X2e = 0; the rebuild
-        # is phi_init(0, 0); the zero map has detG = 0, so the stress is 0
-        # and J = 1; the blends reduce to H(phi_init(0,0)). The cheap branch
-        # below computes precisely those values with the same ops on the
-        # same inputs, so the skip is numerically EXACT, not approximate
-        # (pinned vs the XLA path in tests/test_pallas.py with an off-center
-        # disc so both branches execute).
-        any_solid = None
-        for (X1, X2, phi, mask, known) in qs_all:
-            a = jnp.any(valid & (phi <= 0.0))
-            any_solid = a if any_solid is None else (any_solid | a)
-
-        pl.when(any_solid)(full_path)
-
-        @pl.when(jnp.logical_not(any_solid))
-        def _skip_path():
-            # CORE-sized computation throughout: slicing a splat-derived
-            # array (phi_init of a constant) inside the scf.if region
-            # crashes Mosaic's vector-layout pass — and the slab rows are
-            # constant here anyway. The zeros fed to phi_init are made
-            # data-dependent (u * 0) so the rebuild runs the same VPU ops
-            # as the full path instead of being constant-folded at a
-            # different precision (observed 1-ulp phi drift otherwise).
-            ones_c = jnp.ones((sl, Nx), dtype)
-            zeros_c = u[halo : halo + sl, :] * 0.0
-            Hf_acc = None
-            one_mH_sum = None
+            u_p, v_p = slc(u), slc(v)
+            # coordinate/mask arrays at panel width, broadcast to 2D and
+            # made DATA-dependent (+ u_p*0, and bool masks kept as full-2D
+            # comparisons): Mosaic's scf.if layout pass (the tile_skip
+            # branches below) crashes on (rows,1)/(1,w)-shaped vectors
+            # inside the regions and on column slices of iota+splat
+            # (partially replicated) values captured into them
+            gcol_p = lo + jax.lax.broadcasted_iota(jnp.int32, (1, hi - lo), 1)
+            zf_p = u_p * 0.0
+            gy_p = grow.astype(dtype) + zf_p
+            gx_p = gcol_p.astype(dtype) + zf_p
+            valid_p = (grow >= 0) & (grow <= Ny - 1) & (gcol_p < Nx)
+            interior_p = ((grow > 0) & (grow < Ny - 1)
+                          & (gcol_p > 0) & (gcol_p < Nx - 1))
+            qs_p = []
             for i in range(S):
-                phi2 = phi_inits[i](zeros_c, zeros_c).astype(dtype)
-                H = _heaviside(phi2, w_t)
-                x1e_ref[i, ...] = zeros_c
-                x2e_ref[i, ...] = zeros_c
-                phi_ref[i, ...] = phi2
-                sxx_ref[i, ...] = zeros_c
-                sxy_ref[i, ...] = zeros_c
-                syy_ref[i, ...] = zeros_c
-                j_ref[i, ...] = ones_c
-                Hf_acc = H if Hf_acc is None else Hf_acc + H
-                one_mH = 1.0 - H
-                one_mH_sum = (
-                    one_mH if one_mH_sum is None else one_mH_sum + one_mH)
-            Hf = Hf_acc - (S - 1.0)
-            rho_local = Hf * rho_f + one_mH_sum * rho_s
-            hf_ref[...] = Hf
-            rho_ref[...] = rho_local
-            sbxx_ref[...] = zeros_c
-            sbxy_ref[...] = zeros_c
-            sbyy_ref[...] = zeros_c
+                X1_p = slc(F[2 + 2 * i])
+                X2_p = slc(F[3 + 2 * i])
+                phi_p = phi_inits[i](X1_p, X2_p).astype(dtype)
+                mask_p = (phi_p <= 0.0).astype(dtype)
+                known_p = valid_p & (phi_p < 0.0)
+                qs_p.append((X1_p, X2_p, phi_p, mask_p, known_p))
+
+            def full_path(u_p=u_p, v_p=v_p, gx_p=gx_p, gy_p=gy_p,
+                          interior_p=interior_p, qs_p=qs_p, c0=c0, c1=c1,
+                          o0=o0, pw=pw):
+                # one RK4 backtrace, applied to every component
+                comps = []
+                for (X1, X2, phi, mask, known) in qs_p:
+                    comps.extend([X1, X2])
+                adv = _advect_sl_rk4(
+                    comps, u_p, v_p, dt, dx, dy, gx_p, gy_p, Nx, Ny)
+
+                def core(a):
+                    return a[halo : halo + sl, o0 : o0 + pw]
+
+                Hf_acc = None
+                one_mH_sum = None
+                sb_xx = sb_xy = sb_yy = None
+                for i, (X1, X2, phi, mask, known) in enumerate(qs_p):
+                    X1a = adv[2 * i] * mask
+                    X2a = adv[2 * i + 1] * mask
+                    kf0 = jnp.where(
+                        known, jnp.ones((), dtype), jnp.zeros((), dtype))
+                    X1e, X2e = _extrap_sweeps(
+                        X1a, X2a, kf0, fx, fy, interior_p, num_layers)
+                    phi2 = phi_inits[i](X1e, X2e).astype(dtype)
+                    sxx, sxy, syy, J = _stress(
+                        X1e, X2e, phi2, dx, dy, mu_s, kappa,
+                        stress_w_cut, stress_clamp, interior_p)
+                    H = _heaviside(phi2, w_t)
+                    one_mH = 1.0 - H
+
+                    x1e_ref[i, :, c0:c1] = core(X1e)
+                    x2e_ref[i, :, c0:c1] = core(X2e)
+                    phi_ref[i, :, c0:c1] = core(phi2)
+                    sxx_ref[i, :, c0:c1] = core(sxx)
+                    sxy_ref[i, :, c0:c1] = core(sxy)
+                    syy_ref[i, :, c0:c1] = core(syy)
+                    j_ref[i, :, c0:c1] = core(J)
+
+                    Hf_acc = H if Hf_acc is None else Hf_acc + H
+                    one_mH_sum = (
+                        one_mH if one_mH_sum is None else one_mH_sum + one_mH)
+                    sb_xx = (one_mH * sxx if sb_xx is None
+                             else sb_xx + one_mH * sxx)
+                    sb_xy = (one_mH * sxy if sb_xy is None
+                             else sb_xy + one_mH * sxy)
+                    sb_yy = (one_mH * syy if sb_yy is None
+                             else sb_yy + one_mH * syy)
+
+                Hf = Hf_acc - (S - 1.0)
+                rho_local = Hf * rho_f + one_mH_sum * rho_s
+                hf_ref[:, c0:c1] = core(Hf)
+                rho_ref[:, c0:c1] = core(rho_local)
+                sbxx_ref[:, c0:c1] = core(sb_xx)
+                sbxy_ref[:, c0:c1] = core(sb_xy)
+                sbyy_ref[:, c0:c1] = core(sb_yy)
+
+            if not tile_skip:
+                full_path()
+                continue
+
+            # Tile-activity skip: when NO in-domain cell of the widened
+            # panel has phi <= 0 for any solid, the full pipeline collapses
+            # exactly — mask == 0 everywhere forces X1a = X2a = 0, the
+            # extrapolation frontier is empty (no known cells), so
+            # X1e = X2e = 0; the rebuild is phi_init(0, 0); the zero map
+            # has detG = 0, so the stress is 0 and J = 1; the blends reduce
+            # to H(phi_init(0,0)). The cheap branch below computes precisely
+            # those values with the same ops on the same inputs, so the skip
+            # is numerically EXACT, not approximate (pinned vs the XLA path
+            # in tests/test_pallas.py with an off-center disc so both
+            # branches execute).
+            any_solid = None
+            for (X1, X2, phi, mask, known) in qs_p:
+                a = jnp.any(valid_p & (phi <= 0.0))
+                any_solid = a if any_solid is None else (any_solid | a)
+
+            pl.when(any_solid)(full_path)
+
+            def skip_path(u_p=u_p, c0=c0, c1=c1, o0=o0, pw=pw):
+                # CORE-sized computation throughout: slicing a splat-derived
+                # array (phi_init of a constant) inside the scf.if region
+                # crashes Mosaic's vector-layout pass — and the panel rows
+                # are constant here anyway. The zeros fed to phi_init are
+                # made data-dependent (u * 0) so the rebuild runs the same
+                # VPU ops as the full path instead of being constant-folded
+                # at a different precision (observed 1-ulp phi drift
+                # otherwise).
+                ones_c = jnp.ones((sl, pw), dtype)
+                zeros_c = u_p[halo : halo + sl, o0 : o0 + pw] * 0.0
+                Hf_acc = None
+                one_mH_sum = None
+                for i in range(S):
+                    phi2 = phi_inits[i](zeros_c, zeros_c).astype(dtype)
+                    H = _heaviside(phi2, w_t)
+                    x1e_ref[i, :, c0:c1] = zeros_c
+                    x2e_ref[i, :, c0:c1] = zeros_c
+                    phi_ref[i, :, c0:c1] = phi2
+                    sxx_ref[i, :, c0:c1] = zeros_c
+                    sxy_ref[i, :, c0:c1] = zeros_c
+                    syy_ref[i, :, c0:c1] = zeros_c
+                    j_ref[i, :, c0:c1] = ones_c
+                    Hf_acc = H if Hf_acc is None else Hf_acc + H
+                    one_mH = 1.0 - H
+                    one_mH_sum = (
+                        one_mH if one_mH_sum is None else one_mH_sum + one_mH)
+                Hf = Hf_acc - (S - 1.0)
+                rho_local = Hf * rho_f + one_mH_sum * rho_s
+                hf_ref[:, c0:c1] = Hf
+                rho_ref[:, c0:c1] = rho_local
+                sbxx_ref[:, c0:c1] = zeros_c
+                sbxy_ref[:, c0:c1] = zeros_c
+                sbyy_ref[:, c0:c1] = zeros_c
+
+            pl.when(jnp.logical_not(any_solid))(skip_path)
 
     return kernel
 
@@ -492,4 +546,12 @@ def rmt_block_fused(
         ),
         interpret=interpret,
     )(dt_arr, off_arr, stacked, stacked, stacked)
+    # fusion boundary for multi-panel grids only: without it XLA merges
+    # downstream consumers (the momentum kernel's 11-channel input
+    # stacking) into this custom call's fusion, and the combined
+    # scoped-vmem stack overflows the 16 MB limit at N >= 2048 once the
+    # tile_skip branches are present. At Nx <= 1024 the merged fusion
+    # compiles fine and is ~0.1 ms/step faster — keep it.
+    if _panel_width(Nx) < Nx:
+        outs = jax.lax.optimization_barrier(outs)
     return outs
