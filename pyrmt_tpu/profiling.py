@@ -186,6 +186,8 @@ def ablation_breakdown(N=1024, dtype=None, steps=50, verbose=True):
     cfg0, bc, phi_inits = _flagship(N, dtype)
     variants = [
         ("all defaults", {}),
+        ("tile_skip=False (no solid-free skip)", {"_tile_skip": False}),
+        ("rmt_method=xla (no fused RMT block)", {"rmt_method": "xla"}),
         ("momentum_method=xla", {"momentum_method": "xla"}),
         ("extrap_method=xla", {"extrap_method": "xla"}),
         ("dct_method=fft", {"dct_method": "fft"}),
@@ -195,17 +197,31 @@ def ablation_breakdown(N=1024, dtype=None, steps=50, verbose=True):
     t_end = jnp.asarray(1e9, dtype)
     results = {}
     for name, over in variants:
+        over = dict(over)
+        tile_skip = over.pop("_tile_skip", True)
+        import functools
+
+        import pyrmt_tpu.kernels.rmt_block as _rb
+
+        if not tile_skip:
+            _orig_rbf = _rb.rmt_block_fused
+            _rb.rmt_block_fused = functools.partial(
+                _orig_rbf, tile_skip=False)
         cfg = dataclasses.replace(cfg0, **over)
-        chunk = make_run_chunk(
-            make_step(cfg, bc, phi_inits, dtype=dtype), steps)
-        s, _ = chunk(state0, t_end)
-        jax.block_until_ready(s.u)
-        best = float("inf")
-        for _ in range(3):
-            t0 = _time.perf_counter()
-            s2, _ = chunk(s, t_end)
-            jax.block_until_ready(s2.u)
-            best = min(best, (_time.perf_counter() - t0) / steps * 1e3)
+        try:
+            chunk = make_run_chunk(
+                make_step(cfg, bc, phi_inits, dtype=dtype), steps)
+            s, _ = chunk(state0, t_end)
+            jax.block_until_ready(s.u)
+            best = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                s2, _ = chunk(s, t_end)
+                jax.block_until_ready(s2.u)
+                best = min(best, (_time.perf_counter() - t0) / steps * 1e3)
+        finally:
+            if not tile_skip:
+                _rb.rmt_block_fused = _orig_rbf
         results[name] = best
         if verbose:
             print(f"  {name:36s} {best:8.3f} ms/step")
