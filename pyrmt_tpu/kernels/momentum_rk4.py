@@ -197,10 +197,9 @@ def momentum_rk4_pallas(
         Ny_total = Ny
     if tile is None:
         # 64-row tiles cut the halo-recompute fraction from 1.5x to 1.25x
-        # (measured 1.41 -> 1.34 ms/step at N=1024); kept at 32 for wider
-        # grids, where the larger slab has not been re-validated against
-        # the scoped-vmem stack limit
-        tile = 64 if (Nx <= 1024 and Ny % 64 == 0) else 32
+        # (measured 1.41 -> 1.34 ms/step at N=1024; also validated
+        # end-to-end at N=2048)
+        tile = 64 if Ny % 64 == 0 else 32
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
         t //= 2

@@ -479,7 +479,7 @@ def rmt_block_supported(Ny, num_layers, S):
 )
 def rmt_block_fused(
     u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
-    rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=32,
+    rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=None,
     interpret=False, row_offset=None, Ny_total=None, tile_skip=True,
 ):
     """Fused advect→extrapolate→rebuild→stress→blend pipeline.
@@ -502,6 +502,12 @@ def rmt_block_fused(
     if Ny_total is None:
         Ny_total = Ny
     halo = 4 * num_layers + 4
+    if tile is None:
+        # 64-row tiles cut the halo-recompute fraction (rows/core 1.5x vs
+        # 2.0x) but enlarge the scf.if branch temporaries; safe only on
+        # multi-panel grids (panels <= 512 wide) — at full-width Nx <= 1024
+        # the 96-row branches overflow the 16 MB scoped-vmem stack.
+        tile = 64 if (_panel_width(Nx) < Nx and Ny % 64 == 0) else 32
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
         t //= 2
