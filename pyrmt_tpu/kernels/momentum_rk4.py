@@ -110,27 +110,29 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
         )
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
         inv_rho = 1.0 / (rho + 1e-12)
-        # stage-constant: the pressure gradient is identical across the four
-        # RK4 stages — compute it once (the summation order inside rhs is
-        # unchanged, so results stay bitwise identical)
+        # stage-constant hoists: the pressure gradient and the viscous
+        # blend multipliers are identical across the four RK4 stages.
+        # Factoring sigma = m*(du) + sxx_el changes the summation order vs
+        # the XLA path by O(ulp) — well inside the 1e-13 parity pins.
         dp_dx = _grad_x(p, dx)
         dp_dy = _grad_y_masked(p, dy, grow, Ny)
+        if use_kv:
+            m_diag = Hf * (2.0 * mu_f) + mkv * eta_s
+            m_shear = Hf * mu_f + mkv * (0.5 * eta_s)
+        else:
+            m_diag = Hf * (2.0 * mu_f)
+            m_shear = Hf * mu_f
 
         def rhs(us, vs):
             us, vs = _apply_bc(us, vs, bc_spec, grow, gcol, Ny, Nx, dtype)
-            sxx, sxy, syy = sxx_el, sxy_el, syy_el
             du_dx = _grad_x(us, dx)
             dv_dy = _grad_y_masked(vs, dy, grow, Ny)
             du_dy = _grad_y_masked(us, dy, grow, Ny)
             dv_dx = _grad_x(vs, dx)
-            if use_kv:
-                sxx = sxx + mkv * (eta_s * du_dx)
-                syy = syy + mkv * (eta_s * dv_dy)
-                sxy = sxy + mkv * (eta_s * 0.5 * (du_dy + dv_dx))
 
-            sig_xx = Hf * (2.0 * mu_f * du_dx) + sxx
-            sig_yy = Hf * (2.0 * mu_f * dv_dy) + syy
-            sig_xy = Hf * (mu_f * (du_dy + dv_dx)) + sxy
+            sig_xx = m_diag * du_dx + sxx_el
+            sig_yy = m_diag * dv_dy + syy_el
+            sig_xy = m_shear * (du_dy + dv_dx) + sxy_el
 
             div_x = _grad_x(sig_xx, dx) + _grad_y_masked(sig_xy, dy, grow, Ny)
             div_y = _grad_x(sig_xy, dx) + _grad_y_masked(sig_yy, dy, grow, Ny)
