@@ -176,6 +176,16 @@ def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
 if __name__ == "__main__":
     from benchmarks.common import apply_cli_platform
 
-    apply_cli_platform()
-    scheme = sys.argv[1] if len(sys.argv) > 1 else "semilagrangian"
-    run(scheme=scheme)
+    apply_cli_platform()  # consumes --cpu; --f64 sets jax_enable_x64
+    import jax
+
+    argv = sys.argv[1:]
+    stress_band = "--stress-band" in argv
+    full = "--full" in argv
+    argv = [a for a in argv if a not in ("--stress-band", "--full", "--f64")]
+    scheme = argv[0] if argv else "semilagrangian"
+    dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+    kw = dict(scheme=scheme, stress_band=stress_band, dtype=dtype)
+    if full:
+        kw.update(grids=(32, 64, 128, 256), N_ref=512)
+    run(**kw)

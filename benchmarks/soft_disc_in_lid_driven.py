@@ -121,11 +121,28 @@ def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
         path = os.path.join(DATA_DIR, fn)
         if os.path.isfile(path):
             refs[name] = load_xy_csv(path)
+    devs = {}
+    if len(traj):
+        for name, (rx, ry) in refs.items():
+            devs[name] = mean_track_deviation(traj[:, 1], traj[:, 2], rx, ry)
     if verbose and refs:
         for name, (rx, ry) in refs.items():
-            print(f"  ref {name}: x-extent={rx.max() - rx.min():.3f}")
+            line = f"  ref {name}: x-extent={rx.max() - rx.min():.3f}"
+            if name in devs:
+                line += f"  centroid mean deviation={devs[name]:.4f}"
+            print(line)
         print(f"  ours: orbit x-extent={x_extent:.3f}")
-    return traj, x_extent
+    return traj, x_extent, devs
+
+
+def mean_track_deviation(cx, cy, rx, ry):
+    """Mean over the published track's points of the distance to the nearest
+    point of our centroid orbit (the time-free geometric deviation used for
+    the N=64 validation; the published CSVs carry no timestamps)."""
+    ours = np.column_stack([cx, cy])
+    ref = np.column_stack([rx, ry])
+    d2 = ((ref[:, None, :] - ours[None, :, :]) ** 2).sum(axis=2)
+    return float(np.sqrt(d2.min(axis=1)).mean())
 
 
 if __name__ == "__main__":

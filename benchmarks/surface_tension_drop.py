@@ -119,8 +119,12 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
 if __name__ == "__main__":
     from benchmarks.common import apply_cli_platform
 
-    apply_cli_platform()
-    N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    gamma = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
-    R = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
-    run(N=N, gamma=gamma, R=R)
+    apply_cli_platform()  # consumes --cpu; --f64 sets jax_enable_x64
+    import jax
+
+    argv = [a for a in sys.argv[1:] if a != "--f64"]
+    N = int(argv[0]) if len(argv) > 0 else 128
+    gamma = float(argv[1]) if len(argv) > 1 else 0.1
+    R = float(argv[2]) if len(argv) > 2 else 0.25
+    dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+    run(N=N, gamma=gamma, R=R, dtype=dtype)

@@ -56,17 +56,21 @@ def run(N=128, t_end=2.0, V0=0.15, k_rep=2.0, out_root="outputs",
 
     @jax.jit
     def chunk(s):
+        # running min over EVERY step of the chunk (the reference logs
+        # min(Ja, Jb) per step, two_disc_contact.py:104 — a chunk-boundary
+        # sample would understate the peak compression)
         def body(carry, _):
-            s, _ = carry
+            s, _, jm = carry
             s2, aux = step(s, t_end_j)
-            return (s2, aux), None
+            return (s2, aux, jnp.minimum(jm, jnp.min(aux["J"]))), None
 
         s1, aux1 = step(s, t_end_j)
-        (s2, aux), _ = jax.lax.scan(body, (s1, aux1), None, length=log_every - 1)
+        (s2, aux, jmin), _ = jax.lax.scan(
+            body, (s1, aux1, jnp.min(aux1["J"])), None, length=log_every - 1)
         cxa, cya = disc_centroid(aux["phis"][0], X, Y)
         cxb, cyb = disc_centroid(aux["phis"][1], X, Y)
         umax = jnp.max(jnp.hypot(s2.u, s2.v))
-        stats = jnp.stack([cxa, cxb, jnp.min(aux["J"]), umax,
+        stats = jnp.stack([cxa, cxb, jmin.astype(umax.dtype), umax,
                            s2.t.astype(umax.dtype)])
         return s2, stats
 
@@ -94,10 +98,13 @@ def run(N=128, t_end=2.0, V0=0.15, k_rep=2.0, out_root="outputs",
     log.to_csv(os.path.join(out_dir, "centroids.csv"))
     hist = log.array("t", "cxa", "cxb", "gap", "minJ")
     gmin = float(hist[:, 3].min())
+    jmin = float(hist[:, 4].min())
     approached = int(hist[:, 3].argmin()) < len(hist) - 1
     rebounded = hist[-1, 3] > gmin + 1e-3
     if verbose:
         print(f"[contact] min center gap = {gmin:.3f} (2R={2 * R:.3f}); "
+              f"min J = {jmin:.3f} (peak elastic compression; "
+              f"reference ~0.74 at N=64); "
               f"{'REBOUND' if (approached and rebounded) else 'no clear rebound'}; "
               f"no pass-through: {gmin > 0}  "
               f"({nsteps} steps, {wall:.1f}s, {nsteps / wall:.1f} steps/s)")

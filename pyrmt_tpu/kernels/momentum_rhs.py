@@ -97,6 +97,53 @@ def _upwind_x(f, vel, dx):
     return out
 
 
+def _sh_x(f, k):
+    """Block-local x shift (edge padded; padded cols are never selected)."""
+    if k == 0:
+        return f
+    if k > 0:
+        return jnp.concatenate(
+            [f[:, k:], jnp.repeat(f[:, -1:], k, axis=1)], axis=1)
+    return jnp.concatenate(
+        [jnp.repeat(f[:, 0:1], -k, axis=1), f[:, :k]], axis=1)
+
+
+def _grad_x_masked(f, dx, gcol, Nx):
+    """x-gradient with one-sided closures selected by GLOBAL column index.
+
+    ``gcol``: (1, cols) global column index of each block column (may be
+    negative / past Nx in halo columns under the 2D shard_map wrapper —
+    those outputs are never used). With gcol = iota and Nx = f.shape[1]
+    this computes exactly ``_grad_x``.
+    """
+    inv = 1.0 / (2.0 * dx)
+    central = (_sh_x(f, 1) - _sh_x(f, -1)) * inv
+    left = (-3.0 * f + 4.0 * _sh_x(f, 1) - _sh_x(f, 2)) * inv
+    right = (3.0 * f - 4.0 * _sh_x(f, -1) + _sh_x(f, -2)) * inv
+    out = jnp.where(gcol == 0, left, central)
+    return jnp.where(gcol == Nx - 1, right, out)
+
+
+def _upwind_x_masked(f, vel, dx, gcol, Nx):
+    """3rd-order upwind x-derivative with global-column boundary fallbacks
+    (the column twin of ``_upwind_y_masked``)."""
+    fp1, fp2, fm1, fm2 = _sh_x(f, 1), _sh_x(f, 2), _sh_x(f, -1), _sh_x(f, -2)
+    inv_h = 1.0 / dx
+    backward = (f - fm1) * inv_h
+    forward = (fp1 - f) * inv_h
+    first = jnp.where(vel > 0, backward, forward)
+    inv_6h = 1.0 / (6.0 * dx)
+    pos = (2.0 * fp1 + 3.0 * f - 6.0 * fm1 + fm2) * inv_6h
+    neg = (-fp2 + 6.0 * fp1 - 3.0 * f - 2.0 * fm1) * inv_6h
+    third = jnp.where(vel > 0, pos, neg)
+
+    boundary = (gcol < 2) | (gcol > Nx - 3)
+    out = jnp.where(boundary, first, third)
+    out = jnp.where(gcol == 0, forward, out)
+    out = jnp.where(gcol == Nx - 1, backward, out)
+    return out
+
+
 def _upwind_y_masked(f, vel, dy, grow, Ny):
     """3rd-order upwind y-derivative with global-row boundary fallbacks."""
     fp1, fp2, fm1, fm2 = _sh_y(f, 1), _sh_y(f, 2), _sh_y(f, -1), _sh_y(f, -2)

@@ -30,9 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pyrmt_tpu.kernels.momentum_rhs import (
-    _grad_x,
+    _grad_x_masked,
     _grad_y_masked,
-    _upwind_x,
+    _upwind_x_masked,
     _upwind_y_masked,
 )
 
@@ -86,7 +86,10 @@ def _apply_bc(u, v, bc_spec, grow, gcol, Ny, Nx, dtype):
     raise ValueError(f"bc_spec {bc_spec!r} not supported in-kernel")
 
 
-def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
+def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec):
+    """``Ny``/``Nx`` are the GLOBAL domain extents (closure/BC anchoring);
+    ``Nx_local`` is the input slab width (== Nx single-device, local cols +
+    2*halo under the 2D shard_map wrapper)."""
     use_kv = eta_s > 0.0
 
     def kernel(dt_ref, off_ref, prev_ref, cur_ref, next_ref,
@@ -101,20 +104,24 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
         ]
         dtype = u0.dtype
         rows = tile + 2 * _HALO
-        # off_ref: GLOBAL row index of input row 0 (0 single-device; shard
-        # start minus exchange halo under the shard_map wrapper) — keeps the
-        # BC masks and one-sided closures anchored to the true domain edges.
+        # off_ref: GLOBAL (row, col) index of input element (0, 0) — zeros
+        # single-device; shard start minus exchange halo under the shard_map
+        # wrapper — keeps the BC masks and one-sided closures anchored to
+        # the true domain edges.
         grow = (
             off_ref[0, 0] + t * tile - _HALO
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         )
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (1, Nx), 1)
+        gcol = (
+            off_ref[0, 1]
+            + jax.lax.broadcasted_iota(jnp.int32, (1, Nx_local), 1)
+        )
         inv_rho = 1.0 / (rho + 1e-12)
         # stage-constant hoists: the pressure gradient and the viscous
         # blend multipliers are identical across the four RK4 stages.
         # Factoring sigma = m*(du) + sxx_el changes the summation order vs
         # the XLA path by O(ulp) — well inside the 1e-13 parity pins.
-        dp_dx = _grad_x(p, dx)
+        dp_dx = _grad_x_masked(p, dx, gcol, Nx)
         dp_dy = _grad_y_masked(p, dy, grow, Ny)
         if use_kv:
             m_diag = Hf * (2.0 * mu_f) + mkv * eta_s
@@ -125,21 +132,25 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, tile, bc_spec):
 
         def rhs(us, vs):
             us, vs = _apply_bc(us, vs, bc_spec, grow, gcol, Ny, Nx, dtype)
-            du_dx = _grad_x(us, dx)
+            du_dx = _grad_x_masked(us, dx, gcol, Nx)
             dv_dy = _grad_y_masked(vs, dy, grow, Ny)
             du_dy = _grad_y_masked(us, dy, grow, Ny)
-            dv_dx = _grad_x(vs, dx)
+            dv_dx = _grad_x_masked(vs, dx, gcol, Nx)
 
             sig_xx = m_diag * du_dx + sxx_el
             sig_yy = m_diag * dv_dy + syy_el
             sig_xy = m_shear * (du_dy + dv_dx) + sxy_el
 
-            div_x = _grad_x(sig_xx, dx) + _grad_y_masked(sig_xy, dy, grow, Ny)
-            div_y = _grad_x(sig_xy, dx) + _grad_y_masked(sig_yy, dy, grow, Ny)
+            div_x = (_grad_x_masked(sig_xx, dx, gcol, Nx)
+                     + _grad_y_masked(sig_xy, dy, grow, Ny))
+            div_y = (_grad_x_masked(sig_xy, dx, gcol, Nx)
+                     + _grad_y_masked(sig_yy, dy, grow, Ny))
 
-            u_adv = -us * _upwind_x(us, us, dx) - vs * _upwind_y_masked(
+            u_adv = -us * _upwind_x_masked(
+                us, us, dx, gcol, Nx) - vs * _upwind_y_masked(
                 us, vs, dy, grow, Ny)
-            v_adv = -us * _upwind_x(vs, us, dx) - vs * _upwind_y_masked(
+            v_adv = -us * _upwind_x_masked(
+                vs, us, dx, gcol, Nx) - vs * _upwind_y_masked(
                 vs, vs, dy, grow, Ny)
 
             return (
@@ -177,12 +188,13 @@ def momentum_rk4_supported(velocity_bc, Ny):
 @partial(
     jax.jit,
     static_argnames=("dx", "dy", "mu_f", "eta_s", "bc_spec", "tile",
-                     "interpret", "Ny_total"),
+                     "interpret", "Ny_total", "Nx_total"),
 )
 def momentum_rk4_pallas(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s, bc_spec,
     tile=None, interpret=False, row_offset=None, Ny_total=None,
+    col_offset=None, Nx_total=None,
 ):
     """Fused full-RK4 momentum update. Returns (u_new, v_new).
 
@@ -190,13 +202,16 @@ def momentum_rk4_pallas(
     mask sum_i solid_mask_i*(1-H_i); ``bc_spec`` a static tuple like
     ('lid', 1.0) / ('free_slip',) / ('noop',).
 
-    ``row_offset`` / ``Ny_total`` support the shard_map wrapper
+    ``row_offset`` / ``Ny_total`` (and ``col_offset`` / ``Nx_total`` for a
+    column-split mesh axis) support the shard_map wrapper
     (parallel/sharding.py) — see kernels/rmt_block.py for the staleness
     argument that makes halo-padded per-shard slabs exact.
     """
     Ny, Nx = u.shape
     if Ny_total is None:
         Ny_total = Ny
+    if Nx_total is None:
+        Nx_total = Nx
     if tile is None:
         # 64-row tiles cut the halo-recompute fraction from 1.5x to 1.25x
         # (measured 1.41 -> 1.34 ms/step at N=1024; also validated
@@ -215,8 +230,12 @@ def momentum_rk4_pallas(
         Hf + z, rho_local + z, f_ext_x + z, f_ext_y + z, mkv + z,
     ])
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
-    off_arr = (jnp.zeros((1, 1), jnp.int32) if row_offset is None
-               else jnp.asarray(row_offset, jnp.int32).reshape(1, 1))
+    roff = 0 if row_offset is None else row_offset
+    coff = 0 if col_offset is None else col_offset
+    off_arr = jnp.stack([
+        jnp.asarray(roff, jnp.int32).reshape(()),
+        jnp.asarray(coff, jnp.int32).reshape(()),
+    ]).reshape(1, 2)
 
     grid = (Ny // t,)
     block = pl.BlockSpec((_NFIELDS, t, Nx), lambda i: (0, i, 0))
@@ -228,15 +247,19 @@ def momentum_rk4_pallas(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
     )
+    off_spec = pl.BlockSpec(
+        (1, 2), lambda i: (0, 0),
+        memory_space=pltpu.SMEM if not interpret else None,
+    )
     out_spec = pl.BlockSpec((t, Nx), lambda i: (i, 0))
 
     kernel = _make_kernel(
-        float(dx), float(dy), float(mu_f), float(eta_s), Ny_total, Nx, t,
-        bc_spec)
+        float(dx), float(dy), float(mu_f), float(eta_s), Ny_total, Nx_total,
+        Nx, t, bc_spec)
     u_new, v_new = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[scalar_spec, scalar_spec, block_prev, block, block_next],
+        in_specs=[scalar_spec, off_spec, block_prev, block, block_next],
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct((Ny, Nx), dtype),

@@ -270,9 +270,12 @@ def _panel_width(Nx):
     return pw
 
 
-def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
+def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                  w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp,
-                 tile_skip):
+                 tile_skip, pw):
+    """``Ny``/``Nx`` are the GLOBAL domain extents (masks, advection clamp);
+    ``Nxl`` is the input slab width (== Nx single-device, local cols +
+    2*halo under the 2D shard_map wrapper); ``pw`` the column-panel width."""
     S = len(phi_inits)
     fx, fy = _kernels_1d(dx, dy)
 
@@ -288,15 +291,16 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
         dtype = u.dtype
 
         rows = tile + 2 * halo
-        # off_ref holds the GLOBAL row index of the input's row 0: 0 on a
-        # single device, (shard_start - exchange_halo) under the shard_map
-        # wrapper (parallel/sharding.py). Ny stays the GLOBAL row count so
-        # the valid/interior masks and the advection clamp see the true
-        # domain boundaries, not the shard's.
+        # off_ref holds the GLOBAL (row, col) index of the input's element
+        # (0, 0): zeros on a single device, (shard_start - exchange_halo)
+        # per split axis under the shard_map wrapper (parallel/sharding.py).
+        # Ny/Nx stay the GLOBAL extents so the valid/interior masks and the
+        # advection clamp see the true domain boundaries, not the shard's.
         grow = (
             off_ref[0, 0] + t * tile - halo
             + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         )
+        coff = off_ref[0, 1]
         sl = tile
 
         # Column panels: each panel processes cols [c0, c1) from a slice
@@ -309,14 +313,14 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
         # full-width precomputed fields stay live across the whole panel
         # loop and blow XLA's 16 MB scoped-vmem stack above Nx = 1024
         # (observed at N = 2048).
-        npan = max(1, Nx // _panel_width(Nx))
+        npan = max(1, Nxl // pw)
 
         for pidx in range(npan):
-            pw = Nx // npan
-            c0 = pidx * pw
-            c1 = c0 + pw
+            pwl = Nxl // npan
+            c0 = pidx * pwl
+            c1 = c0 + pwl
             lo = max(c0 - halo, 0)
-            hi = min(c1 + halo, Nx)
+            hi = min(c1 + halo, Nxl)
             o0 = c0 - lo
 
             def slc(a):
@@ -329,11 +333,13 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
             # branches below) crashes on (rows,1)/(1,w)-shaped vectors
             # inside the regions and on column slices of iota+splat
             # (partially replicated) values captured into them
-            gcol_p = lo + jax.lax.broadcasted_iota(jnp.int32, (1, hi - lo), 1)
+            gcol_p = (coff + lo
+                      + jax.lax.broadcasted_iota(jnp.int32, (1, hi - lo), 1))
             zf_p = u_p * 0.0
             gy_p = grow.astype(dtype) + zf_p
             gx_p = gcol_p.astype(dtype) + zf_p
-            valid_p = (grow >= 0) & (grow <= Ny - 1) & (gcol_p < Nx)
+            valid_p = ((grow >= 0) & (grow <= Ny - 1)
+                       & (gcol_p >= 0) & (gcol_p <= Nx - 1))
             interior_p = ((grow > 0) & (grow < Ny - 1)
                           & (gcol_p > 0) & (gcol_p < Nx - 1))
             qs_p = []
@@ -347,7 +353,7 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
 
             def full_path(u_p=u_p, v_p=v_p, gx_p=gx_p, gy_p=gy_p,
                           interior_p=interior_p, qs_p=qs_p, c0=c0, c1=c1,
-                          o0=o0, pw=pw):
+                          o0=o0, pw=pwl):
                 # one RK4 backtrace, applied to every component
                 comps = []
                 for (X1, X2, phi, mask, known) in qs_p:
@@ -423,7 +429,7 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, tile, halo, num_layers,
 
             pl.when(any_solid)(full_path)
 
-            def skip_path(u_p=u_p, c0=c0, c1=c1, o0=o0, pw=pw):
+            def skip_path(u_p=u_p, c0=c0, c1=c1, o0=o0, pw=pwl):
                 # CORE-sized computation throughout: slicing a splat-derived
                 # array (phi_init of a constant) inside the scf.if region
                 # crashes Mosaic's vector-layout pass — and the panel rows
@@ -475,12 +481,13 @@ def rmt_block_supported(Ny, num_layers, S):
     static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
                      "kappa", "rho_s", "rho_f", "stress_w_cut",
                      "stress_clamp", "tile", "interpret", "Ny_total",
-                     "tile_skip"),
+                     "tile_skip", "Nx_total", "panel_width"),
 )
 def rmt_block_fused(
     u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
     rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=None,
     interpret=False, row_offset=None, Ny_total=None, tile_skip=True,
+    col_offset=None, Nx_total=None, panel_width=None,
 ):
     """Fused advect→extrapolate→rebuild→stress→blend pipeline.
 
@@ -489,25 +496,34 @@ def rmt_block_fused(
     the projection need from the solid machinery. ``phi_inits`` must be a
     (hashable) tuple of jnp-traceable callables.
 
-    ``row_offset`` / ``Ny_total`` support the shard_map wrapper
-    (parallel/sharding.py): the inputs are then one shard's rows plus an
-    exchanged halo, ``row_offset`` (dynamic, may be negative) is the global
-    row index of input row 0, and ``Ny_total`` the global row count. Rows
-    whose results depend on stale halo data lie > halo rows outside the
-    shard core and are sliced away by the wrapper — the same staleness
-    argument that makes the single-device prev/next block clamping exact.
+    ``row_offset`` / ``Ny_total`` (and ``col_offset`` / ``Nx_total`` for a
+    column-split mesh axis) support the shard_map wrapper
+    (parallel/sharding.py): the inputs are then one shard's rows/cols plus
+    an exchanged halo, the offsets (dynamic, may be negative) are the global
+    indices of input element (0, 0), and ``Ny_total``/``Nx_total`` the
+    global extents. Rows/cols whose results depend on stale halo data lie
+    > halo outside the shard core and are sliced away by the wrapper — the
+    same staleness argument that makes the single-device prev/next block
+    clamping exact.
+
+    ``panel_width`` overrides the column-panel width (tests pin the
+    multi-panel path in interpret mode with it; default ``_panel_width``).
     """
     S = X1s.shape[0]
     Ny, Nx = u.shape
     if Ny_total is None:
         Ny_total = Ny
+    if Nx_total is None:
+        Nx_total = Nx
+    if panel_width is None:
+        panel_width = _panel_width(Nx)
     halo = 4 * num_layers + 4
     if tile is None:
         # 64-row tiles cut the halo-recompute fraction (rows/core 1.5x vs
         # 2.0x) but enlarge the scf.if branch temporaries; safe only on
         # multi-panel grids (panels <= 512 wide) — at full-width Nx <= 1024
         # the 96-row branches overflow the 16 MB scoped-vmem stack.
-        tile = 64 if (_panel_width(Nx) < Nx and Ny % 64 == 0) else 32
+        tile = 64 if (panel_width < Nx and Ny % 64 == 0) else 32
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
         t //= 2
@@ -519,8 +535,12 @@ def rmt_block_fused(
         [u[None], v[None], *[jnp.stack([X1s[i], X2s[i]]) for i in range(S)]]
     )
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
-    off_arr = (jnp.zeros((1, 1), jnp.int32) if row_offset is None
-               else jnp.asarray(row_offset, jnp.int32).reshape(1, 1))
+    roff = 0 if row_offset is None else row_offset
+    coff = 0 if col_offset is None else col_offset
+    off_arr = jnp.stack([
+        jnp.asarray(roff, jnp.int32).reshape(()),
+        jnp.asarray(coff, jnp.int32).reshape(()),
+    ]).reshape(1, 2)
     C = 2 + 2 * S
 
     grid = (Ny // t,)
@@ -532,19 +552,25 @@ def rmt_block_fused(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
     )
+    off_spec = pl.BlockSpec(
+        (1, 2), lambda i: (0, 0),
+        memory_space=pltpu.SMEM if not interpret else None,
+    )
     stack_spec = pl.BlockSpec((S, t, Nx), lambda i: (0, i, 0))
     field_spec = pl.BlockSpec((t, Nx), lambda i: (i, 0))
 
     kernel = _make_kernel(
-        phi_inits, float(dx), float(dy), Ny_total, Nx, t, halo, num_layers,
+        phi_inits, float(dx), float(dy), Ny_total, Nx_total, Nx, t, halo,
+        num_layers,
         float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
-        float(stress_w_cut), float(stress_clamp), bool(tile_skip))
+        float(stress_w_cut), float(stress_clamp), bool(tile_skip),
+        int(panel_width))
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
     field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[scalar_spec, scalar_spec, block_prev, block, block_next],
+        in_specs=[scalar_spec, off_spec, block_prev, block, block_next],
         out_specs=(stack_spec,) * 7 + (field_spec,) * 5,
         out_shape=(stackS,) * 7 + (field,) * 5,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -558,6 +584,6 @@ def rmt_block_fused(
     # scoped-vmem stack overflows the 16 MB limit at N >= 2048 once the
     # tile_skip branches are present. At Nx <= 1024 the merged fusion
     # compiles fine and is ~0.1 ms/step faster — keep it.
-    if _panel_width(Nx) < Nx:
+    if panel_width < Nx:
         outs = jax.lax.optimization_barrier(outs)
     return outs

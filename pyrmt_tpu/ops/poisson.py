@@ -199,8 +199,9 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None):
     transforms are unnormalised on purpose (a normalised/'ortho' pair changes
     the transform matrix and breaks the diagonalisation).
 
-    ``dct_mats=(Cy, Cx)`` switches the transforms from the rFFT lowering to
-    MXU matmuls (same transform; see ``precompute_dct_matrices``).
+    ``dct_mats=(Ey, Oy, Ex, Ox)`` — the even/odd-folded matrices from
+    ``precompute_dct_matrices`` — switches the transforms from the rFFT
+    lowering to MXU matmuls (same transform to roundoff).
     """
     if dct_mats is not None:
         rhs_hat = dct1_2d_matmul(rhs_2d, dct_mats)

@@ -57,56 +57,88 @@ def shard_state(state, mesh: Mesh):
     return jax.tree.map(jax.device_put, state, sh)
 
 
-def make_rmt_block_sharded(mesh: Mesh, Ny: int, num_layers: int,
+def _halo_pad_fns(mesh: Mesh, halo: int):
+    """Bidirectional nearest-neighbour ppermute halo exchange over BOTH mesh
+    axes. Returns ``pad(f)`` (rows then, when the column axis is nontrivial,
+    columns of the already row-padded slab — so corner halos carry the
+    diagonal neighbour's data) and ``(ny, nx)``. Edge shards receive zero
+    halos, which the kernels' global valid-masks treat exactly like the
+    domain boundary."""
+    import jax.numpy as jnp
+
+    gy, gx = mesh.axis_names
+    ny, nx = int(mesh.shape[gy]), int(mesh.shape[gx])
+    fwd_y = [(i, i + 1) for i in range(ny - 1)]
+    bwd_y = [(i + 1, i) for i in range(ny - 1)]
+    fwd_x = [(i, i + 1) for i in range(nx - 1)]
+    bwd_x = [(i + 1, i) for i in range(nx - 1)]
+
+    def pad(f):
+        if ny > 1:
+            top = jax.lax.ppermute(f[..., -halo:, :], gy, fwd_y)
+            bot = jax.lax.ppermute(f[..., :halo, :], gy, bwd_y)
+            f = jnp.concatenate([top, f, bot], axis=-2)
+        if nx > 1:
+            left = jax.lax.ppermute(f[..., :, -halo:], gx, fwd_x)
+            right = jax.lax.ppermute(f[..., :, :halo], gx, bwd_x)
+            f = jnp.concatenate([left, f, right], axis=-1)
+        return f
+
+    return pad, (ny, nx)
+
+
+def _unpad(o, halo, ny, nx):
+    if ny > 1:
+        o = o[..., halo:-halo, :]
+    if nx > 1:
+        o = o[..., :, halo:-halo]
+    return o
+
+
+def make_rmt_block_sharded(mesh: Mesh, Ny: int, Nx: int, num_layers: int,
                            interpret=False):
-    """Per-shard fused Pallas RMT block under shard_map with explicit ICI
-    halo exchange.
+    """Per-shard fused Pallas RMT block under shard_map with explicit 2D
+    ICI halo exchange.
 
     GSPMD cannot partition a Pallas kernel, so the sharded step normally
     falls back to the composed XLA ops for the whole solid pipeline — giving
-    up the fused kernel's ~1.8x. This wrapper recovers it: each device
-    ppermutes ``halo = 4*num_layers + 4`` boundary rows to its row-neighbours
-    (one bidirectional nearest-neighbour exchange per step, riding ICI),
-    runs the unchanged kernel on its padded slab with the global row offset,
-    and slices the halo back off. Edge shards receive zero halos, which the
-    kernel's global valid-mask treats exactly like the domain boundary.
+    up the fused kernel's ~1.8x. This wrapper recovers it on an arbitrary
+    (gy, gx) mesh: each device ppermutes ``halo = 4*num_layers + 4``
+    boundary rows AND columns to its mesh neighbours (corner halos ride the
+    column exchange of the row-padded slab), runs the unchanged kernel on
+    its padded slab with the global (row, col) offsets, and slices the halo
+    back off.
 
     Returns an ``rmt_block_impl`` for ``sim.make_step``. Requires the grid
-    rows to divide the mesh's row axis with local rows >= halo and the
-    padded slab to row-tile (see ``rmt_block_sharded_supported``).
+    to divide both mesh axes with local extents >= halo and the padded slab
+    to row-tile (see ``rmt_block_sharded_supported``).
     """
-    import jax.numpy as jnp
-
-    gy = mesh.axis_names[0]
-    n = int(mesh.shape[gy])
-    local = Ny // n
+    gy, gx = mesh.axis_names
+    ny, nx = int(mesh.shape[gy]), int(mesh.shape[gx])
+    ly, lx = Ny // ny, Nx // nx
     halo = 4 * num_layers + 4
-    field = P(gy, None)
-    stack = P(None, gy, None)
+    field = P(gy, gx)
+    stack = P(None, gy, gx)
 
     def impl(u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t,
              mu_s, kappa, rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0):
         from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
 
         def body(u_l, v_l, X1_l, X2_l, dt_l):
-            idx = jax.lax.axis_index(gy)
-            fwd = [(i, i + 1) for i in range(n - 1)]
-            bwd = [(i + 1, i) for i in range(n - 1)]
-
-            def pad(f):
-                top = jax.lax.ppermute(f[..., -halo:, :], gy, fwd)
-                bot = jax.lax.ppermute(f[..., :halo, :], gy, bwd)
-                return jnp.concatenate([top, f, bot], axis=-2)
-
+            pad, _ = _halo_pad_fns(mesh, halo)
+            iy = jax.lax.axis_index(gy)
+            ix = jax.lax.axis_index(gx)
             outs = rmt_block_fused(
                 pad(u_l), pad(v_l), pad(X1_l), pad(X2_l), dt_l,
                 phi_inits=phi_inits, dx=dx, dy=dy, num_layers=num_layers,
                 w_t=w_t, mu_s=mu_s, kappa=kappa, rho_s=rho_s, rho_f=rho_f,
                 stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
-                row_offset=idx * local - halo, Ny_total=Ny,
+                row_offset=iy * ly - (halo if ny > 1 else 0), Ny_total=Ny,
+                col_offset=(ix * lx - halo) if nx > 1 else None,
+                Nx_total=Nx if nx > 1 else None,
                 interpret=interpret,
             )
-            return tuple(o[..., halo:-halo, :] for o in outs)
+            return tuple(_unpad(o, halo, ny, nx) for o in outs)
 
         return jax.shard_map(
             body, mesh=mesh,
@@ -118,18 +150,17 @@ def make_rmt_block_sharded(mesh: Mesh, Ny: int, num_layers: int,
     return impl
 
 
-def make_momentum_rk4_sharded(mesh: Mesh, Ny: int, interpret=False):
+def make_momentum_rk4_sharded(mesh: Mesh, Ny: int, Nx: int, interpret=False):
     """Per-shard fused full-RK4 momentum kernel under shard_map (the
-    momentum twin of make_rmt_block_sharded; 8-row halo exchange)."""
-    import jax.numpy as jnp
-
+    momentum twin of make_rmt_block_sharded; 8-cell halo exchange on both
+    mesh axes)."""
     from pyrmt_tpu.kernels.momentum_rk4 import _HALO
 
-    gy = mesh.axis_names[0]
-    n = int(mesh.shape[gy])
-    local = Ny // n
+    gy, gx = mesh.axis_names
+    ny, nx = int(mesh.shape[gy]), int(mesh.shape[gx])
+    ly, lx = Ny // ny, Nx // nx
     halo = _HALO
-    field = P(gy, None)
+    field = P(gy, gx)
 
     def impl(u, v, p, sxx, sxy, syy, Hf, rho, fx, fy, mkv,
              dt, dx, dy, mu_f, eta_s, bc_spec):
@@ -137,21 +168,18 @@ def make_momentum_rk4_sharded(mesh: Mesh, Ny: int, interpret=False):
 
         def body(*args):
             fields, dt_l = args[:-1], args[-1]
-            idx = jax.lax.axis_index(gy)
-            fwd = [(i, i + 1) for i in range(n - 1)]
-            bwd = [(i + 1, i) for i in range(n - 1)]
-
-            def pad(f):
-                top = jax.lax.ppermute(f[-halo:, :], gy, fwd)
-                bot = jax.lax.ppermute(f[:halo, :], gy, bwd)
-                return jnp.concatenate([top, f, bot], axis=0)
-
+            pad, _ = _halo_pad_fns(mesh, halo)
+            iy = jax.lax.axis_index(gy)
+            ix = jax.lax.axis_index(gx)
             u_new, v_new = momentum_rk4_pallas(
                 *[pad(f) for f in fields], dt_l, dx, dy, mu_f, eta_s,
-                bc_spec, row_offset=idx * local - halo, Ny_total=Ny,
+                bc_spec,
+                row_offset=iy * ly - (halo if ny > 1 else 0), Ny_total=Ny,
+                col_offset=(ix * lx - halo) if nx > 1 else None,
+                Nx_total=Nx if nx > 1 else None,
                 interpret=interpret,
             )
-            return u_new[halo:-halo, :], v_new[halo:-halo, :]
+            return _unpad(u_new, halo, ny, nx), _unpad(v_new, halo, ny, nx)
 
         return jax.shard_map(
             body, mesh=mesh,
@@ -163,29 +191,40 @@ def make_momentum_rk4_sharded(mesh: Mesh, Ny: int, interpret=False):
     return impl
 
 
-def momentum_rk4_sharded_supported(mesh: Mesh, Ny: int, velocity_bc):
+def momentum_rk4_sharded_supported(mesh: Mesh, Ny: int, Nx: int, velocity_bc):
     from pyrmt_tpu.kernels.momentum_rk4 import _HALO, momentum_rk4_supported
 
-    n = int(mesh.shape[mesh.axis_names[0]])
-    if Ny % n or getattr(velocity_bc, "kernel_spec", None) is None:
+    gy, gx = mesh.axis_names
+    ny, nx = int(mesh.shape[gy]), int(mesh.shape[gx])
+    if Ny % ny or Nx % nx or getattr(velocity_bc, "kernel_spec", None) is None:
         return False
-    local = Ny // n
-    return local >= _HALO and momentum_rk4_supported(
-        velocity_bc, local + 2 * _HALO)
+    ly, lx = Ny // ny, Nx // nx
+    if ny > 1 and ly < _HALO:
+        return False
+    if nx > 1 and lx < _HALO:
+        return False
+    return momentum_rk4_supported(
+        velocity_bc, ly + (2 * _HALO if ny > 1 else 0))
 
 
-def rmt_block_sharded_supported(mesh: Mesh, Ny: int, num_layers: int, S: int):
-    """The sharded fused RMT block needs: rows divide the mesh row axis,
-    local rows >= the exchange halo, and the padded slab to row-tile."""
+def rmt_block_sharded_supported(mesh: Mesh, Ny: int, Nx: int,
+                                num_layers: int, S: int):
+    """The sharded fused RMT block needs: the grid to divide both mesh axes,
+    local rows/cols >= the exchange halo, and the padded slab to row-tile."""
     from pyrmt_tpu.kernels.rmt_block import rmt_block_supported
 
-    n = int(mesh.shape[mesh.axis_names[0]])
-    if S < 1 or Ny % n:
+    gy, gx = mesh.axis_names
+    ny, nx = int(mesh.shape[gy]), int(mesh.shape[gx])
+    if S < 1 or Ny % ny or Nx % nx:
         return False
     halo = 4 * num_layers + 4
-    local = Ny // n
-    return local >= halo and rmt_block_supported(local + 2 * halo,
-                                                 num_layers, S)
+    ly, lx = Ny // ny, Nx // nx
+    if ny > 1 and ly < halo:
+        return False
+    if nx > 1 and lx < halo:
+        return False
+    return rmt_block_supported(ly + (2 * halo if ny > 1 else 0),
+                               num_layers, S)
 
 
 def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
@@ -207,29 +246,36 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
 
     import jax.numpy as jnp
 
-    from pyrmt_tpu.sim import make_step
+    from pyrmt_tpu.sim import make_step, rmt_block_fusible
 
     dtype = dtype or jnp.float32
     S = len(phi_inits)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    supported = rmt_block_sharded_supported(
-        mesh, cfg.grid.Ny, cfg.num_layers, S)
+    supported = (
+        rmt_block_fusible(cfg, S)
+        and rmt_block_sharded_supported(
+            mesh, cfg.grid.Ny, cfg.grid.Nx, cfg.num_layers, S)
+    )
     if rmt_method is None:
         rmt_method = "pallas" if (
             jax.default_backend() == "tpu" and supported) else "xla"
     if rmt_method == "pallas" and not supported:
-        raise ValueError("sharded Pallas RMT block unsupported for this "
-                         "mesh/grid; see rmt_block_sharded_supported")
+        # same failure mode as make_step's fusibility conditions: an
+        # explicit 'pallas' request never silently downgrades
+        raise ValueError(
+            "sharded Pallas RMT block unsupported for this config/mesh/"
+            "grid; see sim.rmt_block_fusible + rmt_block_sharded_supported")
     rmt_impl = (
-        make_rmt_block_sharded(mesh, cfg.grid.Ny, cfg.num_layers,
-                               interpret=interpret)
+        make_rmt_block_sharded(mesh, cfg.grid.Ny, cfg.grid.Nx,
+                               cfg.num_layers, interpret=interpret)
         if rmt_method == "pallas" else None
     )
     mom_impl = (
-        make_momentum_rk4_sharded(mesh, cfg.grid.Ny, interpret=interpret)
+        make_momentum_rk4_sharded(mesh, cfg.grid.Ny, cfg.grid.Nx,
+                                  interpret=interpret)
         if rmt_method == "pallas" and momentum_rk4_sharded_supported(
-            mesh, cfg.grid.Ny, velocity_bc)
+            mesh, cfg.grid.Ny, cfg.grid.Nx, velocity_bc)
         else None
     )
 

@@ -94,6 +94,9 @@ class RMTConfig:
     momentum_method: str = "auto"   # 'xla' | 'pallas' | 'auto' (pallas on TPU)
     rmt_method: str = "auto"        # 'xla' | 'pallas' | 'auto': fuse the whole
                                     # advect->extrap->stress block on TPU
+    rmt_panel_width: int | None = None  # override the RMT-block kernel's
+                                    # column-panel width (perf tuning; None =
+                                    # kernels/rmt_block._panel_width)
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -145,6 +148,20 @@ def check_narrow_band(w_t, dx, num_layers):
             "extrapolation layers but only %d requested." % (w_t, w_t / dx, need, num_layers)
         )
     return need
+
+
+def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
+    """Config-level conditions under which the fused RMT-block kernel can
+    replace the advect→extrapolate→rebuild→stress block (any impl, incl.
+    the sharded one): semi-Lagrangian gather-free advection with a sub-cell
+    (CFL < 1) backtrace and no level-set reinitialisation."""
+    return (
+        S >= 1
+        and cfg.scheme == "semilagrangian"
+        and cfg.sl_local
+        and cfg.CFL < 1.0
+        and cfg.reinit_method == "none"
+    )
 
 
 def make_step(
@@ -218,13 +235,7 @@ def make_step(
         rmt_method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if rmt_method not in ("xla", "pallas"):
         raise ValueError(f"unknown rmt_method {cfg.rmt_method!r}")
-    rmt_fusible = (
-        S >= 1
-        and cfg.scheme == "semilagrangian"
-        and cfg.sl_local
-        and cfg.CFL < 1.0
-        and cfg.reinit_method == "none"
-    )
+    rmt_fusible = rmt_block_fusible(cfg, S)
     if rmt_block_impl is not None:
         use_rmt_fused = rmt_fusible
     else:
@@ -275,10 +286,18 @@ def make_step(
             # On no-op (dt-frozen) steps the STATE stays exactly frozen below;
             # only the aux diagnostics reflect the discarded trial step
             # (the XLA path recomputes them from the frozen maps instead).
+            import functools
+
             from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
             from pyrmt_tpu.physics import external_forces, momentum_core
 
-            rmt_fn = rmt_block_impl if rmt_block_impl is not None else rmt_block_fused
+            if rmt_block_impl is not None:
+                rmt_fn = rmt_block_impl
+            elif cfg.rmt_panel_width is not None:
+                rmt_fn = functools.partial(
+                    rmt_block_fused, panel_width=cfg.rmt_panel_width)
+            else:
+                rmt_fn = rmt_block_fused
             (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
              sb_xx, sb_xy, sb_yy) = rmt_fn(
                 u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits), dx=dx, dy=dy,

@@ -201,3 +201,41 @@ def test_rmt_block_tile_skip_exact():
     b = rmt_block_fused(u, v, X1[None], X2[None], dt, tile_skip=False, **kw)
     for x, y in zip(a, b):
         assert float(jnp.max(jnp.abs(x - y))) == 0.0
+
+
+def test_rmt_block_multi_panel_parity():
+    """The multi-panel column path (panel_width < Nx: lo/hi/o0 slicing,
+    per-panel tile skip) only activates by default at Nx > 1024; pin it at
+    test scale via the injectable panel_width. With 32-wide panels and a
+    disc centred at x=0.5, the outer column panels are solid-free, so the
+    per-panel skip takes both branches. Multi-panel output must equal the
+    single-panel kernel BITWISE (whose own parity vs the composed XLA ops
+    is pinned above), with tile_skip on and off (f64 interpret mode)."""
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+
+    Ny = Nx = 128
+    phi_init = (
+        lambda X, Y: jnp.sqrt((X - 0.5) ** 2 + (Y - 0.125) ** 2) - 0.1)
+    dx = dy = 1.0 / (Nx - 1)
+    X, Y = jnp.meshgrid(jnp.arange(Nx) * dx, jnp.arange(Ny) * dy)
+    X1 = (X + 0.003 * jnp.sin(2 * jnp.pi * Y)).astype(jnp.float64)
+    X2 = (Y - 0.002 * jnp.cos(2 * jnp.pi * X)).astype(jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 0.2 * dx / 0.3
+
+    # the disc spans columns ~38..90: panels 0 and 3 (of 4) are solid-free
+    phi = np.asarray(phi_init(X1, X2))
+    cols = np.where((phi <= 0).any(axis=0))[0]
+    assert cols.min() > 32 and cols.max() < 96, "setup must leave skippable panels"
+
+    kw = dict(phi_inits=(phi_init,), dx=dx, dy=dy, num_layers=3, w_t=3 * dx,
+              mu_s=0.1, kappa=1.0, rho_s=1.0, rho_f=1.0, stress_w_cut=3 * dx,
+              stress_clamp=4.0, interpret=True)
+    single = rmt_block_fused(u, v, X1[None], X2[None], dt,
+                             tile_skip=False, **kw)
+    for skip in (True, False):
+        multi = rmt_block_fused(u, v, X1[None], X2[None], dt,
+                                tile_skip=skip, panel_width=32, **kw)
+        for x, y in zip(multi, single):
+            assert float(jnp.max(jnp.abs(x - y))) == 0.0

@@ -81,10 +81,54 @@ def test_sharded_pallas_rmt_block_matches_single_device():
         rmt_block_sharded_supported,
     )
 
-    assert rmt_block_sharded_supported(mesh, g.Ny, cfg.num_layers, 1)
+    assert rmt_block_sharded_supported(mesh, g.Ny, g.Nx, cfg.num_layers, 1)
     # the fused full-RK4 momentum kernel must also engage per shard here —
     # otherwise this test silently stops covering it
-    assert momentum_rk4_sharded_supported(mesh, g.Ny, free_slip_box_bc)
+    assert momentum_rk4_sharded_supported(mesh, g.Ny, g.Nx, free_slip_box_bc)
+    stepN, shard = make_sharded_step(
+        cfg, free_slip_box_bc, (phi_init,), mesh, dtype=jnp.float64,
+        rmt_method="pallas", interpret=True)
+
+    ref, sh_state = state, shard(state)
+    t_end = jnp.asarray(1.0)
+    for _ in range(2):
+        ref, _ = step1(ref, t_end)
+        sh_state, _ = stepN(sh_state, t_end)
+
+    assert np.allclose(np.asarray(sh_state.u), np.asarray(ref.u), atol=1e-10)
+    assert np.allclose(np.asarray(sh_state.p), np.asarray(ref.p), atol=1e-10)
+    assert np.allclose(np.asarray(sh_state.X1), np.asarray(ref.X1), atol=1e-11)
+    assert np.allclose(np.asarray(sh_state.X2), np.asarray(ref.X2), atol=1e-11)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("mesh_shape", [(2, 2), (2, 4)])
+def test_sharded_pallas_2d_mesh_matches_single_device(mesh_shape):
+    """2D (row x column) decomposition of the fused Pallas kernels: every
+    device owns a rectangular block, halo exchange runs on BOTH mesh axes
+    (corners via the column exchange of the row-padded slab)."""
+    from jax.sharding import Mesh
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, mu_f=0.01, rho_f=1.0,
+                    rho_s=1.0, num_layers=3, CFL=0.2, dt_min_cap=1e-3)
+    # off-centre disc so shard-local tile/panel skips take BOTH branches
+    phi_init = _disc_phi(0.35, 0.6, 0.2)
+
+    step1 = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+
+    ny, nx = mesh_shape
+    mesh = Mesh(np.array(jax.devices()[: ny * nx]).reshape(ny, nx),
+                ("gy", "gx"))
+    from pyrmt_tpu.parallel.sharding import (
+        momentum_rk4_sharded_supported,
+        rmt_block_sharded_supported,
+    )
+
+    # (2,4): local cols 16 == exchange halo — the tightest supported split
+    assert rmt_block_sharded_supported(mesh, g.Ny, g.Nx, cfg.num_layers, 1)
+    assert momentum_rk4_sharded_supported(mesh, g.Ny, g.Nx, free_slip_box_bc)
     stepN, shard = make_sharded_step(
         cfg, free_slip_box_bc, (phi_init,), mesh, dtype=jnp.float64,
         rmt_method="pallas", interpret=True)
@@ -110,6 +154,24 @@ def test_sharded_pallas_unsupported_mesh_raises():
     phi_init = _disc_phi(0.5, 0.5, 0.2)
     # 8-way row sharding -> local rows 8 < halo 16: unsupported
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("gy", "gx"))
+    with pytest.raises(ValueError):
+        make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
+                          dtype=jnp.float64, rmt_method="pallas",
+                          interpret=True)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_pallas_unfusible_config_raises():
+    """An explicit rmt_method='pallas' must fail loudly (not silently
+    downgrade) when the CONFIG is not RMT-fusible, matching make_step's
+    fusibility conditions (reinit/scheme/CFL/sl_local)."""
+    from jax.sharding import Mesh
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, num_layers=3,
+                    reinit_method="pde")  # not fusible
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("gy", "gx"))
     with pytest.raises(ValueError):
         make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
                           dtype=jnp.float64, rmt_method="pallas",
