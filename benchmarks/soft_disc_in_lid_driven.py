@@ -136,13 +136,21 @@ def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
 
 
 def mean_track_deviation(cx, cy, rx, ry):
-    """Mean over the published track's points of the distance to the nearest
-    point of our centroid orbit (the time-free geometric deviation used for
-    the N=64 validation; the published CSVs carry no timestamps)."""
+    """Mean over OUR centroid samples of the distance to the published
+    track's polyline (time-free geometric deviation: how far our orbit
+    strays from the published one). The published CSVs carry no timestamps
+    and may cover a different time span, so the reverse direction would
+    penalise unvisited track segments rather than trajectory error."""
     ours = np.column_stack([cx, cy])
-    ref = np.column_stack([rx, ry])
-    d2 = ((ref[:, None, :] - ours[None, :, :]) ** 2).sum(axis=2)
-    return float(np.sqrt(d2.min(axis=1)).mean())
+    A = np.column_stack([rx, ry])[:-1]
+    B = np.column_stack([rx, ry])[1:]
+    AB = B - A
+    denom = (AB * AB).sum(-1).clip(1e-30)
+    t = ((ours[:, None, :] - A[None, :, :]) * AB[None, :, :]).sum(-1) / denom[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    proj = A[None, :, :] + t[:, :, None] * AB[None, :, :]
+    d = np.sqrt(((ours[:, None, :] - proj) ** 2).sum(-1)).min(axis=1)
+    return float(d.mean())
 
 
 if __name__ == "__main__":

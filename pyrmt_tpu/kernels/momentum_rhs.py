@@ -17,8 +17,11 @@ the ten input fields stacked on a leading axis, with a 2-row halo on each
 side assembled from the neighbouring blocks (the same stacked input is passed
 three times with block indices i-1 / i / i+1; Pallas clamps out-of-range
 block indices, and every value that would be garbage at the domain edge sits
-in an unselected branch of a one-sided closure). Columns stay unsplit: a full
-row easily fits VMEM and the x-direction closures then need no halo logic.
+in an unselected branch of a one-sided closure). Columns stay unsplit in
+THIS kernel: a full row easily fits VMEM and the x-direction closures then
+need no halo logic. The full-RK4 kernel (momentum_rk4.py) reuses the masked
+helpers below with global column indices instead, so the 2D shard_map
+wrapper can split columns too.
 
 Numerical parity with the jnp path is pinned to ~1e-6 (f32) / 1e-12 (f64,
 interpret mode) in tests/test_pallas.py.

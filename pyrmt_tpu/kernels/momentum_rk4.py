@@ -30,8 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pyrmt_tpu.kernels.momentum_rhs import (
+    _grad_x,
     _grad_x_masked,
     _grad_y_masked,
+    _upwind_x,
     _upwind_x_masked,
     _upwind_y_masked,
 )
@@ -86,10 +88,15 @@ def _apply_bc(u, v, bc_spec, grow, gcol, Ny, Nx, dtype):
     raise ValueError(f"bc_spec {bc_spec!r} not supported in-kernel")
 
 
-def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec):
+def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
+                 col_split):
     """``Ny``/``Nx`` are the GLOBAL domain extents (closure/BC anchoring);
     ``Nx_local`` is the input slab width (== Nx single-device, local cols +
-    2*halo under the 2D shard_map wrapper)."""
+    2*halo under the 2D shard_map wrapper). ``col_split`` selects the
+    global-column-masked x-derivative helpers; the unsplit case keeps the
+    slice-based closures, whose boundary formulas are evaluated on single
+    columns instead of full-width (measured ~12% whole-step cost at
+    N=1024 otherwise)."""
     use_kv = eta_s > 0.0
 
     def kernel(dt_ref, off_ref, prev_ref, cur_ref, next_ref,
@@ -117,11 +124,17 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec):
             + jax.lax.broadcasted_iota(jnp.int32, (1, Nx_local), 1)
         )
         inv_rho = 1.0 / (rho + 1e-12)
+        if col_split:
+            gx_grad = lambda f: _grad_x_masked(f, dx, gcol, Nx)
+            gx_upw = lambda f, vel: _upwind_x_masked(f, vel, dx, gcol, Nx)
+        else:
+            gx_grad = lambda f: _grad_x(f, dx)
+            gx_upw = lambda f, vel: _upwind_x(f, vel, dx)
         # stage-constant hoists: the pressure gradient and the viscous
         # blend multipliers are identical across the four RK4 stages.
         # Factoring sigma = m*(du) + sxx_el changes the summation order vs
         # the XLA path by O(ulp) — well inside the 1e-13 parity pins.
-        dp_dx = _grad_x_masked(p, dx, gcol, Nx)
+        dp_dx = gx_grad(p)
         dp_dy = _grad_y_masked(p, dy, grow, Ny)
         if use_kv:
             m_diag = Hf * (2.0 * mu_f) + mkv * eta_s
@@ -132,25 +145,21 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec):
 
         def rhs(us, vs):
             us, vs = _apply_bc(us, vs, bc_spec, grow, gcol, Ny, Nx, dtype)
-            du_dx = _grad_x_masked(us, dx, gcol, Nx)
+            du_dx = gx_grad(us)
             dv_dy = _grad_y_masked(vs, dy, grow, Ny)
             du_dy = _grad_y_masked(us, dy, grow, Ny)
-            dv_dx = _grad_x_masked(vs, dx, gcol, Nx)
+            dv_dx = gx_grad(vs)
 
             sig_xx = m_diag * du_dx + sxx_el
             sig_yy = m_diag * dv_dy + syy_el
             sig_xy = m_shear * (du_dy + dv_dx) + sxy_el
 
-            div_x = (_grad_x_masked(sig_xx, dx, gcol, Nx)
-                     + _grad_y_masked(sig_xy, dy, grow, Ny))
-            div_y = (_grad_x_masked(sig_xy, dx, gcol, Nx)
-                     + _grad_y_masked(sig_yy, dy, grow, Ny))
+            div_x = gx_grad(sig_xx) + _grad_y_masked(sig_xy, dy, grow, Ny)
+            div_y = gx_grad(sig_xy) + _grad_y_masked(sig_yy, dy, grow, Ny)
 
-            u_adv = -us * _upwind_x_masked(
-                us, us, dx, gcol, Nx) - vs * _upwind_y_masked(
+            u_adv = -us * gx_upw(us, us) - vs * _upwind_y_masked(
                 us, vs, dy, grow, Ny)
-            v_adv = -us * _upwind_x_masked(
-                vs, us, dx, gcol, Nx) - vs * _upwind_y_masked(
+            v_adv = -us * gx_upw(vs, us) - vs * _upwind_y_masked(
                 vs, vs, dy, grow, Ny)
 
             return (
@@ -255,7 +264,7 @@ def momentum_rk4_pallas(
 
     kernel = _make_kernel(
         float(dx), float(dy), float(mu_f), float(eta_s), Ny_total, Nx_total,
-        Nx, t, bc_spec)
+        Nx, t, bc_spec, col_split=col_offset is not None)
     u_new, v_new = pl.pallas_call(
         kernel,
         grid=grid,

@@ -107,8 +107,15 @@ def precompute_dct_matrices(Nx, Ny, dtype=jnp.float32):
     return Ey, Oy, Ex, Ox
 
 
+# f32 matmul precision for the DCT transforms. HIGHEST (6-pass bf16
+# emulation) keeps the matmul path equal to the FFT path to roundoff —
+# the parity requirement; module-level so perf experiments can probe the
+# cheaper passes without threading a parameter through every caller.
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(a, b, precision=_MM_PRECISION)
 
 
 def _dct1_rows_folded(x, E, O):
