@@ -222,10 +222,14 @@ def momentum_rk4_pallas(
     if Nx_total is None:
         Nx_total = Nx
     if tile is None:
-        # 64-row tiles cut the halo-recompute fraction from 1.5x to 1.25x
-        # (measured 1.41 -> 1.34 ms/step at N=1024; also validated
-        # end-to-end at N=2048)
-        tile = 64 if Ny % 64 == 0 else 32
+        # bigger tiles cut the halo-recompute fraction (64: 1.25x, 128:
+        # 1.125x; measured 809.5 -> 820.9 steps/s at N=1024 for 128).
+        # 128 is kept to Nx <= 1024 where its VMEM footprint is validated;
+        # N=2048/4096 stay on the 64-row tiles validated there.
+        if Ny % 128 == 0 and Nx <= 1024:
+            tile = 128
+        else:
+            tile = 64 if Ny % 64 == 0 else 32
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
         t //= 2

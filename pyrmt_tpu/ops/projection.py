@@ -47,6 +47,8 @@ def pressure_projection(
     cg_tol=1e-6,
     cg_maxiter=200,
     dct_mats=None,
+    stencil_bc_spec=None,
+    stencil_interpret=False,
 ):
     """Project (a*, b*) onto a (discretely) divergence-free field.
 
@@ -54,9 +56,19 @@ def pressure_projection(
     replacement for the runtime ``np.ptp(rho) > 1e-10`` probe. ``rho`` may be
     a scalar or an (Ny, Nx) array in either mode. ``dct_mats`` (optional)
     routes the Neumann DCT solves through MXU matmuls instead of the FFT
-    lowering. Returns (a, b, p).
+    lowering. ``stencil_bc_spec`` (a static BC spec like ('lid', 1.0), from
+    the stock BCs' kernel_spec) routes the incremental constant-rho Neumann
+    stencil chains through the fused Pallas passes
+    (kernels/projection_stencils.py) — roundoff-identical to the XLA ops,
+    including the in-kernel velocity BC. Returns (a, b, p).
     """
     rho = jnp.asarray(rho, dtype=a_star.dtype)
+    use_stencil_kernels = (
+        stencil_bc_spec is not None
+        and bc_type == "neumann"
+        and p_prev is not None
+        and not variable_rho
+    )
 
     if bc_type == "periodic":
         if eigenvalues is None:
@@ -76,6 +88,23 @@ def pressure_projection(
         raise ValueError(f"unknown bc_type {bc_type!r}")
     if eigenvalues is None:
         raise ValueError("neumann projection needs precomputed DCT eigenvalues")
+
+    if use_stencil_kernels:
+        from pyrmt_tpu.kernels.projection_stencils import (
+            grad_correct_pallas,
+            rc_rhs_pallas,
+        )
+
+        d_scalar = dt / jnp.mean(rho)
+        rhs_2d = rc_rhs_pallas(a_star, b_star, p_prev, rho, dt, d_scalar,
+                               dx, dy, interpret=stencil_interpret)
+        p_correction = solve_poisson_dct(rhs_2d, eigenvalues,
+                                         dct_mats=dct_mats)
+        a, b = grad_correct_pallas(p_correction, a_star, b_star, rho, dt,
+                                   dx, dy, stencil_bc_spec,
+                                   interpret=stencil_interpret)
+        p = p_prev + p_correction
+        return a, b, p - jnp.mean(p)
 
     if p_prev is not None:
         divU = compute_divergence_rc(

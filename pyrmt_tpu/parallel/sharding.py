@@ -285,7 +285,7 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
     # automatically).
     cfg = dataclasses.replace(
         cfg, extrap_method="xla", momentum_method="xla", rmt_method="xla",
-        use_pallas_rhs=False,
+        projection_method="xla", use_pallas_rhs=False,
     )
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
                           rmt_block_impl=rmt_impl,

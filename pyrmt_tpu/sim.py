@@ -97,6 +97,9 @@ class RMTConfig:
     rmt_panel_width: int | None = None  # override the RMT-block kernel's
                                     # column-panel width (perf tuning; None =
                                     # kernels/rmt_block._panel_width)
+    projection_method: str = "auto" # 'xla' | 'pallas' | 'auto': fuse the
+                                    # projection's pre/post-DCT stencil
+                                    # chains into Pallas passes on TPU
     variable_rho: bool = False      # static: solid/fluid densities differ
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
@@ -245,6 +248,27 @@ def make_step(
             and rmt_block_supported(g.Ny, cfg.num_layers, S)
         )
 
+    from pyrmt_tpu.kernels.projection_stencils import (
+        projection_stencils_supported,
+    )
+
+    projection_method = cfg.projection_method
+    if projection_method == "auto":
+        # measured a wash vs XLA's own fusion of these chains at N=1024
+        # (733.5 vs 731.9 steps/s) — keep the simpler XLA lowering by
+        # default; the fused kernels stay available as 'pallas'
+        projection_method = "xla"
+    if projection_method not in ("xla", "pallas"):
+        raise ValueError(f"unknown projection_method {cfg.projection_method!r}")
+    use_proj_kernels = (
+        projection_method == "pallas"
+        and cfg.bc_type == "neumann"
+        and not cfg.variable_rho
+        and projection_stencils_supported(velocity_bc, g.Ny)
+    )
+    proj_spec = velocity_bc.kernel_spec if use_proj_kernels else None
+    proj_interpret = jax.default_backend() != "tpu"
+
     extrap_method = cfg.extrap_method
     if extrap_method == "auto":
         extrap_method = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -337,6 +361,7 @@ def make_step(
                 p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
                 variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
                 cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
+                stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
             )
 
             frz = lambda new, old: jnp.where(active, new, old)
@@ -446,6 +471,7 @@ def make_step(
             p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
             variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
             cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
+            stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
         )
 
         frz = lambda new, old: jnp.where(active, new, old)
