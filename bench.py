@@ -75,5 +75,5 @@ if __name__ == "__main__":
     use_pallas = "--pallas" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(args[0]) if len(args) > 0 else 1024
-    n_steps = int(args[1]) if len(args) > 1 else 200
+    n_steps = int(args[1]) if len(args) > 1 else 1000
     main(N=N, n_steps=n_steps, use_pallas=use_pallas)

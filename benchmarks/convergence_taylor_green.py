@@ -104,18 +104,35 @@ def richardson_order(values):
 
 def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
         dt=1.0e-4, stress_band=False, dtype="float32", out_root="outputs",
-        verbose=True):
+        verbose=True, cache=False):
     if verbose:
         print(f"[convergence-TG] scheme={scheme} grids={grids} ref={N_ref} "
-              f"t={t_end} dt={dt} dtype={dtype}")
+              f"t={t_end} dt={dt} dtype={dtype} stress_band={stress_band}")
+    from benchmarks.common import ensure_dir
+
+    tag = f"convergence_tg_{scheme}" + ("_band" if stress_band else "")
+    out_dir = ensure_dir(os.path.join(out_root, tag))
     sols = {}
     for N in list(grids) + [N_ref]:
+        # per-N field cache: the N=512 f64 reference leg alone is hours of
+        # single-core CPU — a crash/restart must not lose completed legs
+        cpath = os.path.join(out_dir, f"sol_N{N}_{dtype}_t{t_end}_dt{dt}.npz")
+        if cache and os.path.exists(cpath):
+            with np.load(cpath) as z:
+                sols[N] = {k: (z[k] if z[k].ndim else z[k].item())
+                           for k in z.files}
+            if verbose:
+                print(f"  N={N:4d} (cached: {cpath})")
+            continue
         t0 = time.perf_counter()
         sols[N] = simulate_tg(N, scheme, t_end, dt, stress_band, dtype)
         if verbose:
             s = sols[N]
             print(f"  N={N:4d} dx={s['dx']:.5f} ke={s['ke']:.6e} "
-                  f"se={s['se']:.6e}  ({time.perf_counter() - t0:.1f}s)")
+                  f"se={s['se']:.6e}  ({time.perf_counter() - t0:.1f}s)",
+                  flush=True)
+        if cache:
+            np.savez_compressed(cpath, **sols[N])
 
     ref = sols[N_ref]
     rows = []
@@ -165,9 +182,6 @@ def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
         for nm in names:
             print(f"    {nm:4s}: p = {orders[nm]:.2f}")
 
-    from benchmarks.common import ensure_dir
-
-    out_dir = ensure_dir(os.path.join(out_root, f"convergence_tg_{scheme}"))
     np.savetxt(os.path.join(out_dir, "errors.csv"), rows, delimiter=",",
                header="dx,E_v,E_p,E_X1,E_ke,E_se", comments="")
     return orders
@@ -182,10 +196,12 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     stress_band = "--stress-band" in argv
     full = "--full" in argv
-    argv = [a for a in argv if a not in ("--stress-band", "--full", "--f64")]
+    cache = "--cache" in argv
+    argv = [a for a in argv
+            if a not in ("--stress-band", "--full", "--f64", "--cache")]
     scheme = argv[0] if argv else "semilagrangian"
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-    kw = dict(scheme=scheme, stress_band=stress_band, dtype=dtype)
+    kw = dict(scheme=scheme, stress_band=stress_band, dtype=dtype, cache=cache)
     if full:
         kw.update(grids=(32, 64, 128, 256), N_ref=512)
     run(**kw)

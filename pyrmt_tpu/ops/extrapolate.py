@@ -187,6 +187,50 @@ def _interior_mask(Ny, Nx):
     return (jj > 0) & (jj < Ny - 1) & (ii > 0) & (ii < Nx - 1)
 
 
+def _frontier_mask(known, interior, dtype):
+    """Unknown interior cells with any known 3x3 neighbour (separable 3-tap
+    max dilation via two 1D passes)."""
+    from pyrmt_tpu.ops.fd import _shift_x, _shift_y
+
+    kf = known.astype(dtype)
+    row_max = jnp.maximum(jnp.maximum(_shift_x(kf, -1), kf), _shift_x(kf, 1))
+    neigh = jnp.maximum(jnp.maximum(_shift_y(row_max, -1), row_max),
+                        _shift_y(row_max, 1))
+    return (~known) & (neigh > 0.0) & interior
+
+
+def _dense_layer(X1e, X2e, known, frontier, fx, fy):
+    """One layer-synchronous sweep: dense whole-grid normal equations via
+    separable shift-add correlations + vectorised Cramer. Returns the updated
+    (X1e, X2e, known)."""
+    dtype = X1e.dtype
+    kf = known.astype(dtype)
+    cor = _normal_equations_separable(kf, kf * X1e, kf * X2e, fx, fy)
+    count = cor[0]
+    a00, a01, a02 = cor[1], cor[2], cor[3]
+    a11, a12, a22 = cor[4], cor[5], cor[6]
+    b1_0, b1_1, b1_2 = cor[7], cor[8], cor[9]
+    b2_0, b2_1, b2_2 = cor[10], cor[11], cor[12]
+
+    from pyrmt_tpu.ops.fd import solve3x3_sym
+
+    # offset-coordinate fit: the plane value at the centre cell is the
+    # constant coefficient. det threshold in offset units (the reference's
+    # 1e-10 lives in absolute-coordinate units; offset units are O(1)).
+    c1_0, _, _, det, ok1 = solve3x3_sym(
+        a00, a01, a02, a11, a12, a22, b1_0, b1_1, b1_2, det_eps=1e-10
+    )
+    c2_0, _, _, _, _ = solve3x3_sym(
+        a00, a01, a02, a11, a12, a22, b2_0, b2_1, b2_2, det_eps=1e-10
+    )
+
+    accept = frontier & (count >= 3.0) & ok1
+    X1e = jnp.where(accept, c1_0, X1e)
+    X2e = jnp.where(accept, c2_0, X2e)
+    known = known | accept
+    return X1e, X2e, known
+
+
 @partial(jax.jit, static_argnames=("dx", "dy", "max_layers"))
 def extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers):
     """Extrapolate (X1, X2) from the solid (phi < 0) ``max_layers`` cells into
@@ -200,38 +244,115 @@ def extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers):
     X1e, X2e = X1, X2
 
     for _ in range(max_layers):
-        kf = known.astype(dtype)
-        # frontier: unknown interior cell with any known 3x3 neighbour
-        # (separable 3-tap max dilation via two 1D passes)
-        from pyrmt_tpu.ops.fd import _shift_x, _shift_y
+        frontier = _frontier_mask(known, interior, dtype)
+        X1e, X2e, known = _dense_layer(X1e, X2e, known, frontier, fx, fy)
 
-        row_max = jnp.maximum(jnp.maximum(_shift_x(kf, -1), kf), _shift_x(kf, 1))
-        neigh = jnp.maximum(jnp.maximum(_shift_y(row_max, -1), row_max),
-                            _shift_y(row_max, 1))
-        frontier = (~known) & (neigh > 0.0) & interior
+    return X1e, X2e
 
-        cor = _normal_equations_separable(kf, kf * X1e, kf * X2e, fx, fy)
-        count = cor[0]
-        a00, a01, a02 = cor[1], cor[2], cor[3]
-        a11, a12, a22 = cor[4], cor[5], cor[6]
-        b1_0, b1_1, b1_2 = cor[7], cor[8], cor[9]
-        b2_0, b2_1, b2_2 = cor[10], cor[11], cor[12]
 
-        from pyrmt_tpu.ops.fd import solve3x3_sym
+def _moment_kernels_2d(dx, dy):
+    """The 13 9x9 moment kernels as [a, b] = fy[a] * fx[b] outer products of
+    the same 1D factors the dense path correlates with — the sparse per-cell
+    sums therefore use bit-identical weights."""
+    fx, fy = _kernels_1d(dx, dy)
+    pairs = [  # (y-factor, x-factor), in cor[] row order
+        ("1", "1"),        # count
+        ("wy", "wx"),      # S00
+        ("wy", "wxd"),     # S01
+        ("wyd", "wx"),     # S02
+        ("wy", "wxd2"),    # S11
+        ("wyd", "wxd"),    # S12
+        ("wyd2", "wx"),    # S22
+        ("wy", "wx"),      # b*_0
+        ("wy", "wxd"),     # b*_1
+        ("wyd", "wx"),     # b*_2
+    ]
+    return np.stack([np.outer(fy[a], fx[b]) for a, b in pairs])
 
-        # offset-coordinate fit: the plane value at the centre cell is the
-        # constant coefficient. det threshold in offset units (the reference's
-        # 1e-10 lives in absolute-coordinate units; offset units are O(1)).
-        c1_0, _, _, det, ok1 = solve3x3_sym(
-            a00, a01, a02, a11, a12, a22, b1_0, b1_1, b1_2, det_eps=1e-10
+
+def _sparse_layer(X1e, X2e, known, frontier, moments, max_frontier):
+    """One sweep restricted to the frontier cells: gather each frontier
+    cell's 9x9 window, form the weighted normal equations per cell, Cramer
+    solve, and scatter the accepted fits back. O(frontier * 81) instead of
+    O(Ny * Nx * taps) — the CPU-backend fast path (XLA:CPU does not fuse the
+    dense shift-add chains, making the dense layer ~100x slower than the
+    same math on TPU). Frontier cells beyond ``max_frontier`` are NOT
+    updated here; the caller guards with a dense fallback."""
+    dtype = X1e.dtype
+    Ny, Nx = X1e.shape
+    K = max_frontier
+    jj, ii = jnp.nonzero(frontier, size=K, fill_value=0)
+    valid = jnp.arange(K) < jnp.sum(frontier)
+
+    pad = [(_WIN, _WIN), (_WIN, _WIN)]
+    kf = jnp.pad(known.astype(dtype), pad)
+    X1p = jnp.pad(X1e, pad)
+    X2p = jnp.pad(X2e, pad)
+    ja = jj[:, None, None] + jnp.arange(2 * _WIN + 1)[None, :, None]
+    ib = ii[:, None, None] + jnp.arange(2 * _WIN + 1)[None, None, :]
+    win_k = kf[ja, ib]                 # (K, 9, 9)
+    win_1 = win_k * X1p[ja, ib]
+    win_2 = win_k * X2p[ja, ib]
+
+    m = [jnp.asarray(mk, dtype) for mk in moments]
+    s = lambda w, f: jnp.sum(w * f, axis=(1, 2))
+    count = s(m[0], win_k)
+    a00, a01, a02 = s(m[1], win_k), s(m[2], win_k), s(m[3], win_k)
+    a11, a12, a22 = s(m[4], win_k), s(m[5], win_k), s(m[6], win_k)
+    b1_0, b1_1, b1_2 = s(m[7], win_1), s(m[8], win_1), s(m[9], win_1)
+    b2_0, b2_1, b2_2 = s(m[7], win_2), s(m[8], win_2), s(m[9], win_2)
+
+    from pyrmt_tpu.ops.fd import solve3x3_sym
+
+    c1_0, _, _, _, ok1 = solve3x3_sym(
+        a00, a01, a02, a11, a12, a22, b1_0, b1_1, b1_2, det_eps=1e-10
+    )
+    c2_0, _, _, _, _ = solve3x3_sym(
+        a00, a01, a02, a11, a12, a22, b2_0, b2_1, b2_2, det_eps=1e-10
+    )
+
+    accept = valid & (count >= 3.0) & ok1
+    # scatter via masked .add deltas: the padding duplicates at (0, 0) all
+    # carry accept=False -> add 0, so duplicate updates are harmless
+    d1 = jnp.where(accept, c1_0 - X1e[jj, ii], jnp.zeros((), dtype))
+    d2 = jnp.where(accept, c2_0 - X2e[jj, ii], jnp.zeros((), dtype))
+    X1e = X1e.at[jj, ii].add(d1)
+    X2e = X2e.at[jj, ii].add(d2)
+    hits = jnp.zeros((Ny, Nx), jnp.int32).at[jj, ii].add(accept.astype(jnp.int32))
+    known = known | (hits > 0)
+    return X1e, X2e, known
+
+
+@partial(jax.jit, static_argnames=("dx", "dy", "max_layers", "max_frontier"))
+def extrapolate_reference_map_sparse(X1, X2, phi, dx, dy, max_layers,
+                                     max_frontier=None):
+    """Frontier-gather variant of ``extrapolate_reference_map`` — the same
+    layer-synchronous LSQ sweeps, but each layer fits only the O(perimeter)
+    frontier cells (static bound ``max_frontier``, default 6*(Ny+Nx)) via a
+    windowed gather + scatter instead of whole-grid correlations. If a layer's
+    frontier ever exceeds the bound, that layer falls back to the dense path
+    (lax.cond), so results match the dense op for ANY input (pinned <=1e-12
+    in tests/test_extrap.py; the only differences are f64 summation-order
+    rounding). This is the CPU-backend default (``extrap_method='auto'``) —
+    ~100x faster there; on TPU the fused Pallas kernel is the default."""
+    dtype = X1.dtype
+    Ny, Nx = X1.shape
+    if max_frontier is None:
+        max_frontier = max(256, 6 * (Ny + Nx))
+    fx, fy = _kernels_1d(dx, dy, dtype)
+    moments = _moment_kernels_2d(dx, dy)
+    interior = _interior_mask(Ny, Nx)
+
+    known = phi < 0.0
+    X1e, X2e = X1, X2
+
+    for _ in range(max_layers):
+        frontier = _frontier_mask(known, interior, dtype)
+        X1e, X2e, known = jax.lax.cond(
+            jnp.sum(frontier) <= max_frontier,
+            lambda a, b, k, f: _sparse_layer(a, b, k, f, moments, max_frontier),
+            lambda a, b, k, f: _dense_layer(a, b, k, f, fx, fy),
+            X1e, X2e, known, frontier,
         )
-        c2_0, _, _, _, _ = solve3x3_sym(
-            a00, a01, a02, a11, a12, a22, b2_0, b2_1, b2_2, det_eps=1e-10
-        )
-
-        accept = frontier & (count >= 3.0) & ok1
-        X1e = jnp.where(accept, c1_0, X1e)
-        X2e = jnp.where(accept, c2_0, X2e)
-        known = known | accept
 
     return X1e, X2e

@@ -99,12 +99,34 @@ def _dct1_fold_matrices(N, dtype):
     return C[0::2, :ne], C[1::2, :no]
 
 
+def _dct1_inverse_fold_matrices(N, dtype):
+    """Half-size factor matrices (Ie, Io) for applying the DCT-I matrix to a
+    spectral vector stored in FOLD order (even-k block then odd-k block).
+
+    Splitting z = C @ yhat by coefficient parity, Ce = C[:, 0::2] has rows
+    symmetric under k -> N-1-k and Co = C[:, 1::2] antisymmetric rows, so
+    only the top ceil(N/2) rows of each are needed: with s = Ie @ ye and
+    a = Io @ yo, z = [s + a ; reverse((s - a)[:floor(N/2)])]. Together with
+    ``_dct1_fold_matrices`` this keeps a whole Poisson solve in the fold
+    domain — no interleave/deinterleave relayouts between the matmuls
+    (measured 0.41 -> 0.34 ms/solve at N=1024 on one v5e chip).
+    """
+    C = dct1_matrix(N, dtype)
+    ne = N - N // 2
+    return C[:ne, 0::2], C[:ne, 1::2]
+
+
 def precompute_dct_matrices(Nx, Ny, dtype=jnp.float32):
-    """(Ey, Oy, Ex, Ox) even/odd-folded transform matrices for the matmul
-    DCT-I path (see ``_dct1_fold_matrices``)."""
+    """(Ey, Oy, Ex, Ox, Iey, Ioy, Iex, Iox) even/odd-folded transform
+    matrices for the matmul DCT-I path: forward factors from
+    ``_dct1_fold_matrices`` plus fold-order inverse factors from
+    ``_dct1_inverse_fold_matrices`` (used by the fold-domain Poisson
+    solve)."""
     Ey, Oy = _dct1_fold_matrices(Ny, dtype)
     Ex, Ox = _dct1_fold_matrices(Nx, dtype)
-    return Ey, Oy, Ex, Ox
+    Iey, Ioy = _dct1_inverse_fold_matrices(Ny, dtype)
+    Iex, Iox = _dct1_inverse_fold_matrices(Nx, dtype)
+    return Ey, Oy, Ex, Ox, Iey, Ioy, Iex, Iox
 
 
 # f32 matmul precision for the DCT transforms. HIGHEST (6-pass bf16
@@ -137,17 +159,74 @@ def _dct1_rows_folded(x, E, O):
 def dct1_2d_matmul(x, mats):
     """2D unnormalised DCT-I via four half-size MXU matmuls (one even/odd
     folded pass per axis); same transform as ``dct1_2d`` to roundoff."""
-    Ey, Oy, Ex, Ox = mats
+    Ey, Oy, Ex, Ox = mats[:4]
     y = _dct1_rows_folded(x, Ey, Oy)
     return _dct1_rows_folded(y.T, Ex, Ox).T
 
 
 def idct1_2d_matmul(x, mats):
-    Ey, Oy, Ex, Ox = mats
+    Ey, Oy, Ex, Ox = mats[:4]
     Ny = Ey.shape[0] + Oy.shape[0]
     Nx = Ex.shape[0] + Ox.shape[0]
     scale = 1.0 / (2.0 * (Ny - 1) * 2.0 * (Nx - 1))
     return dct1_2d_matmul(x, mats) * jnp.asarray(scale, x.dtype)
+
+
+def _fold_rows(x, ne, no):
+    """(e, o) even/odd reflection fold down the rows (odd sizes keep the
+    self-paired middle row on e)."""
+    xr = x[::-1][:no]
+    e = x[:no] + xr
+    if ne > no:
+        e = jnp.concatenate([e, x[no:ne]], axis=0)
+    return e, x[:no] - xr
+
+
+def _dct1_2d_blocks(x, mats):
+    """Forward 2D DCT-I straight into fold order: four parity blocks
+    (Bee, Boe, Beo, Boo) with B<py><px>[k1, k2] = xhat[2k1(+1), 2k2(+1)].
+    Same matmul count as the interleaved path, zero relayouts."""
+    Ey, Oy, Ex, Ox = mats[:4]
+    dt = x.dtype
+    Ey, Oy, Ex, Ox = (m.astype(dt) for m in (Ey, Oy, Ex, Ox))
+    ne_x, no_x = Ex.shape[0], Ox.shape[0]
+    # x-axis fold + transform (columns)
+    xr = x[:, ::-1][:, :no_x]
+    ex = x[:, :no_x] + xr
+    if ne_x > no_x:
+        ex = jnp.concatenate([ex, x[:, no_x:ne_x]], axis=1)
+    ox = x[:, :no_x] - xr
+    Ae = _mm(ex, Ex.T)  # (Ny, ne_x): even-kx spectral columns
+    Ao = _mm(ox, Ox.T)  # (Ny, no_x): odd-kx
+    # y-axis fold + transform (rows)
+    ne_y, no_y = Ey.shape[0], Oy.shape[0]
+    eye, oye = _fold_rows(Ae, ne_y, no_y)
+    eyo, oyo = _fold_rows(Ao, ne_y, no_y)
+    return _mm(Ey, eye), _mm(Oy, oye), _mm(Ey, eyo), _mm(Oy, oyo)
+
+
+def _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, mats):
+    """Inverse of ``_dct1_2d_blocks`` (including the 1/(4(Ny-1)(Nx-1))
+    normalisation): fold-order inverse factors plus two symmetric /
+    antisymmetric reconstruction butterflies."""
+    Iey, Ioy, Iex, Iox = mats[4:8]
+    dt = Bee.dtype
+    Iey, Ioy, Iex, Iox = (m.astype(dt) for m in (Iey, Ioy, Iex, Iox))
+    no_y = Ioy.shape[1]
+    no_x = Iox.shape[1]
+    Ny = Iey.shape[0] + no_y
+    Nx = Iex.shape[0] + no_x
+
+    def unfold_rows(s, a, no):
+        return jnp.concatenate([s + a, (s - a)[:no][::-1]], axis=0)
+
+    Ze = unfold_rows(_mm(Iey, Bee), _mm(Ioy, Boe), no_y)  # (Ny, ne_x)
+    Zo = unfold_rows(_mm(Iey, Beo), _mm(Ioy, Boo), no_y)  # (Ny, no_x)
+    s2 = _mm(Ze, Iex.T)
+    a2 = _mm(Zo, Iox.T)
+    out = jnp.concatenate([s2 + a2, (s2 - a2)[:, :no_x][:, ::-1]], axis=1)
+    scale = 1.0 / (2.0 * (Ny - 1) * 2.0 * (Nx - 1))
+    return out * jnp.asarray(scale, dt)
 
 
 def build_poisson_matrix(Nx, Ny, dx, dy):
@@ -206,14 +285,32 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None):
     transforms are unnormalised on purpose (a normalised/'ortho' pair changes
     the transform matrix and breaks the diagonalisation).
 
-    ``dct_mats=(Ey, Oy, Ex, Ox)`` — the even/odd-folded matrices from
+    ``dct_mats`` — the (Ey, Oy, Ex, Ox, Iey, Ioy, Iex, Iox) tuple from
     ``precompute_dct_matrices`` — switches the transforms from the rFFT
-    lowering to MXU matmuls (same transform to roundoff).
+    lowering to MXU matmuls (same transform to roundoff). The matmul solve
+    stays entirely in the even/odd FOLD domain (forward parity blocks,
+    eigenvalue divide on parity-sliced eigenvalues, fold-order inverse) —
+    no interleave/deinterleave relayouts between the matmuls. The parity
+    slicing of the eigenvalues happens HOST-side at trace time whenever
+    ``eigenvalues`` is a concrete (precomputed) array: in-graph f64 strided
+    slices are pathologically slow on the TPU backend.
     """
     if dct_mats is not None:
-        rhs_hat = dct1_2d_matmul(rhs_2d, dct_mats)
-        p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)
-        p = idct1_2d_matmul(p_hat, dct_mats)
+        Bs = _dct1_2d_blocks(rhs_2d, dct_mats)
+        dt = Bs[0].dtype
+        if isinstance(eigenvalues, jax.core.Tracer):
+            eig = eigenvalues.astype(dt)
+            eig_blocks = (eig[0::2, 0::2], eig[1::2, 0::2],
+                          eig[0::2, 1::2], eig[1::2, 1::2])
+        else:
+            import numpy as np
+
+            e = np.asarray(eigenvalues)
+            eig_blocks = tuple(
+                jnp.asarray(e[a::2, b::2], dt)
+                for a, b in ((0, 0), (1, 0), (0, 1), (1, 1)))
+        Bee, Boe, Beo, Boo = (b / eb for b, eb in zip(Bs, eig_blocks))
+        p = _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, dct_mats)
     else:
         rhs_hat = dct1_2d(rhs_2d)
         p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)

@@ -90,13 +90,19 @@ class RMTConfig:
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
-    extrap_method: str = "auto"     # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    extrap_method: str = "auto"     # 'xla' | 'sparse' | 'pallas' | 'auto'
+                                    # (auto: pallas on TPU, sparse elsewhere)
     momentum_method: str = "auto"   # 'xla' | 'pallas' | 'auto' (pallas on TPU)
     rmt_method: str = "auto"        # 'xla' | 'pallas' | 'auto': fuse the whole
                                     # advect->extrap->stress block on TPU
     rmt_panel_width: int | None = None  # override the RMT-block kernel's
                                     # column-panel width (perf tuning; None =
                                     # kernels/rmt_block._panel_width)
+    rmt_tile: int | None = None     # override the RMT-block kernel's row-tile
+                                    # height (perf tuning; larger tiles cut
+                                    # halo recompute but need a raised
+                                    # --xla_tpu_scoped_vmem_limit_kib at
+                                    # full panel width)
     projection_method: str = "auto" # 'xla' | 'pallas' | 'auto': fuse the
                                     # projection's pre/post-DCT stencil
                                     # chains into Pallas passes on TPU
@@ -271,7 +277,7 @@ def make_step(
 
     extrap_method = cfg.extrap_method
     if extrap_method == "auto":
-        extrap_method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        extrap_method = "pallas" if jax.default_backend() == "tpu" else "sparse"
     if extrap_method == "pallas":
         from pyrmt_tpu.kernels.extrapolate_fused import (
             extrapolate_reference_map_fused,
@@ -280,6 +286,10 @@ def make_step(
         extrap_fn = extrapolate_reference_map_fused
     elif extrap_method == "xla":
         extrap_fn = extrapolate_reference_map
+    elif extrap_method == "sparse":
+        from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map_sparse
+
+        extrap_fn = extrapolate_reference_map_sparse
     else:
         raise ValueError(f"unknown extrap_method {cfg.extrap_method!r}")
 
@@ -317,11 +327,14 @@ def make_step(
 
             if rmt_block_impl is not None:
                 rmt_fn = rmt_block_impl
-            elif cfg.rmt_panel_width is not None:
-                rmt_fn = functools.partial(
-                    rmt_block_fused, panel_width=cfg.rmt_panel_width)
             else:
-                rmt_fn = rmt_block_fused
+                tuning = {}
+                if cfg.rmt_panel_width is not None:
+                    tuning["panel_width"] = cfg.rmt_panel_width
+                if cfg.rmt_tile is not None:
+                    tuning["tile"] = cfg.rmt_tile
+                rmt_fn = (functools.partial(rmt_block_fused, **tuning)
+                          if tuning else rmt_block_fused)
             (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
              sb_xx, sb_xy, sb_yy) = rmt_fn(
                 u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits), dx=dx, dy=dy,

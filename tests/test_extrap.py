@@ -96,6 +96,33 @@ def test_separable_normal_equations_match_dense():
         assert np.allclose(sep[si], dense[ci, ki], atol=1e-12), (si, ci, ki)
 
 
+def test_sparse_frontier_path_matches_dense():
+    """The frontier-gather CPU fast path (extrapolate_reference_map_sparse)
+    must match the dense correlations to summation-order rounding, including
+    its dense fallback when the frontier exceeds the static bound."""
+    from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map_sparse
+
+    N = 80
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    X, Y = np.asarray(X), np.asarray(Y)
+    phi = np.sqrt((X - 0.5) ** 2 + (Y - 0.45) ** 2) - 0.23
+    solid = (phi < 0).astype(float)
+    X1 = (X + 0.02 * np.sin(5 * np.pi * Y)) * solid
+    X2 = (Y - 0.02 * np.cos(3 * np.pi * X)) * solid
+    ref = [np.asarray(a) for a in
+           extrapolate_reference_map(X1, X2, phi, dx, dy, max_layers=3)]
+    got = [np.asarray(a) for a in
+           extrapolate_reference_map_sparse(X1, X2, phi, dx, dy, 3)]
+    assert np.abs(got[0] - ref[0]).max() < 1e-12
+    assert np.abs(got[1] - ref[1]).max() < 1e-12
+    # overflow -> per-layer dense fallback, still identical
+    fb = [np.asarray(a) for a in
+          extrapolate_reference_map_sparse(X1, X2, phi, dx, dy, 3,
+                                           max_frontier=8)]
+    assert np.abs(fb[0] - ref[0]).max() < 1e-12
+    assert np.abs(fb[1] - ref[1]).max() < 1e-12
+
+
 def test_strain_energy_matches_stress_no_lnJ():
     """For a uniform stretch the (lnJ-free) strain-energy density equals the
     neo-Hookean W = (mu/2)(I1 - 2) consistent with sigma = mu*b
