@@ -39,7 +39,9 @@ def simulate_tg(N, scheme, t_end=0.25, dt=1.0e-4, stress_band=False,
         grid=g, mu_s=1.0, kappa=0.0, rho_s=1.0, eta_s=0.0, mu_f=1.0e-3,
         rho_f=1.0, w_t_cells=2.0, scheme=scheme, stress_band=stress_band,
         num_layers=3, CFL=0.2,
-        dt_min_cap=dt,  # fixed dt: the cap IS the step (CFL never binds at U0=0.05)
+        fixed_dt=dt,  # TRULY fixed: at N>=1024 the adaptive viscous
+        # constraint (CFL*dx^2/(4 mu_f) < 1e-4) would otherwise silently
+        # bind below the intended step and the leg would stop short of t_end
     )
     step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=dt_)
     X, Y = g.coords(dtype=dt_)

@@ -44,6 +44,22 @@ from pyrmt_tpu.kernels.extrapolate_fused import (
 )
 
 
+def _trim_schedule(num_layers):
+    """Stage row-window trim schedule, in whole (8, 128) VPU sublane tiles.
+
+    The per-stage stencil margin is 4 rows (9-tap extrapolation reads +-4),
+    but Mosaic cannot concatenate vectors whose sublane offsets differ (the
+    x-shift edge closures crash with "result/input offset mismatch on
+    non-concat dimension" when fed a value sliced by 4 rows), so cumulative
+    trims are floored to multiples of 8: before extrapolation layer ``l``
+    the window has shrunk by 8*(l//2) <= 4*l rows per side, and the post
+    (rebuild/stress/blend) window by 8*(num_layers//2) <= 4*num_layers.
+
+    Returns (cumulative trim before layer l for l in 0..L-1, post trim)."""
+    cums = [8 * (l // 2) for l in range(num_layers)]
+    return cums, 8 * (num_layers // 2)
+
+
 def _sh_edge_x(f, k):
     """f[:, i+k] edge-padded (parity with ops.fd._shift_x)."""
     if k == 0:
@@ -151,11 +167,38 @@ def _advect_sl_rk4(qs, u, v, dt, dx, dy, gx, gy, Nx, Ny):
     return _bilinear_local(qs, sx, sy, gx, gy, Nx, Ny)
 
 
-def _extrap_sweeps(X1b, X2b, known0, fx, fy, interior, max_layers):
-    """In-block extrapolation sweeps (same body as extrapolate_fused)."""
+def _extrap_sweeps(X1b, X2b, known0, fx, fy, interiors, max_layers,
+                   cum_trims=None):
+    """In-block extrapolation sweeps (same body as extrapolate_fused).
+
+    ``interiors`` is a per-layer list of interior masks. ``cum_trims`` (from
+    ``_trim_schedule``) gives the cumulative rows trimmed per side before
+    each layer: layer ``l``'s output is only ever consumed within 4 rows per
+    remaining stage of the slab core (the kernel halo argument), so rows
+    outside that window — trimmed in whole VPU sublane tiles — are dead
+    work. The zero-padded stencil taps at the new window edges read exactly
+    the kf == 0 (unknown) weights that out-of-domain rows read, so every
+    row a later stage consumes is bitwise identical to the untrimmed
+    computation. Each ``interiors[l]`` must match layer ``l``'s window
+    (masks are REBUILT per window by the caller, outside the scf.if
+    regions — slicing an iota-derived mask crashes Mosaic's vector-layout
+    pass; trims must stay multiples of 8 or the x-shift concats crash, see
+    ``_trim_schedule``).
+
+    Returns (X1e, X2e, row_offset): row_offset is the total rows trimmed
+    from the top (``cum_trims[-1]``).
+    """
     kf = known0
     one = jnp.ones((), X1b.dtype)
-    for _ in range(max_layers):
+    off = 0
+    for layer in range(max_layers):
+        trim = 0 if cum_trims is None else cum_trims[layer] - off
+        if trim:
+            X1b = X1b[trim:-trim, :]
+            X2b = X2b[trim:-trim, :]
+            kf = kf[trim:-trim, :]
+            off += trim
+        interior = interiors[layer]
         row_max = jnp.maximum(jnp.maximum(_shz_x(kf, -1), kf), _shz_x(kf, 1))
         neigh = jnp.maximum(
             jnp.maximum(_shz_y(row_max, -1), row_max), _shz_y(row_max, 1))
@@ -185,7 +228,7 @@ def _extrap_sweeps(X1b, X2b, known0, fx, fy, interior, max_layers):
         X1b = jnp.where(accept, c1_0, X1b)
         X2b = jnp.where(accept, c2_0, X2b)
         kf = jnp.where(accept, one, kf)
-    return X1b, X2b
+    return X1b, X2b, off
 
 
 def _stress(X1, X2, phi, dx, dy, mu_s, kappa, w_cut, detg_clamp, interior):
@@ -279,15 +322,25 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
     S = len(phi_inits)
     fx, fy = _kernels_1d(dx, dy)
 
-    def kernel(dt_ref, off_ref, prev_ref, cur_ref, next_ref, *out_refs):
+    def kernel(dt_ref, off_ref, *refs):
+        # each input field arrives as its OWN (tile, Nxl) prev/cur/next ref
+        # triple instead of one stacked (C, tile, Nxl) ref: the stack
+        # assembly cost ~27 us/step of HBM concat fusions at N=1024, while
+        # separate refs alias the producers' buffers directly.
+        C = 2 + 2 * S
+        ins = refs[: 3 * C]
         (x1e_ref, x2e_ref, phi_ref, sxx_ref, sxy_ref, syy_ref, j_ref,
-         hf_ref, rho_ref, sbxx_ref, sbxy_ref, sbyy_ref) = out_refs
+         hf_ref, rho_ref, sbxx_ref, sbxy_ref, sbyy_ref) = refs[3 * C :]
         t = pl.program_id(0)
         dt = dt_ref[0, 0]
-        top = prev_ref[:, tile - halo :, :]
-        bot = next_ref[:, :halo, :]
-        F = jnp.concatenate([top, cur_ref[...], bot], axis=1)
-        u, v = F[0], F[1]
+
+        def widen(k):
+            prev, cur, nxt = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            return jnp.concatenate(
+                [prev[tile - halo :, :], cur[...], nxt[:halo, :]], axis=0)
+
+        u, v = widen(0), widen(1)
+        Fm = [widen(2 + j) for j in range(2 * S)]  # X1_0, X2_0, X1_1, ...
         dtype = u.dtype
 
         rows = tile + 2 * halo
@@ -342,18 +395,42 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                        & (gcol_p >= 0) & (gcol_p <= Nx - 1))
             interior_p = ((grow > 0) & (grow < Ny - 1)
                           & (gcol_p > 0) & (gcol_p < Nx - 1))
+
+            # Stage row-windows: extrapolation layer l (0-based) only
+            # needs the slab trimmed by 4*l rows per side, and the post
+            # stage (rebuild/stress/Heaviside/blend) only core +-4 — the
+            # halo budget is 4 rows/stage, so everything outside a stage's
+            # window is dead work. Trims follow _trim_schedule (whole VPU
+            # sublane tiles only). Windowed interior masks are built HERE,
+            # outside the scf.if regions: fresh (rows,1) iotas or slices of
+            # iota-derived masks inside the branches crash Mosaic's
+            # vector-layout pass.
+            def row_interior(off, n):
+                gr = (off_ref[0, 0] + t * tile - halo + off
+                      + jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0))
+                return ((gr > 0) & (gr < Ny - 1)
+                        & (gcol_p > 0) & (gcol_p < Nx - 1))
+
+            cum_trims, post_off = _trim_schedule(num_layers)
+            extrap_interiors = [interior_p] + [
+                row_interior(cum_trims[li], rows - 2 * cum_trims[li])
+                for li in range(1, num_layers)
+            ]
+            interior_post = row_interior(post_off, rows - 2 * post_off)
             qs_p = []
             for i in range(S):
-                X1_p = slc(F[2 + 2 * i])
-                X2_p = slc(F[3 + 2 * i])
+                X1_p = slc(Fm[2 * i])
+                X2_p = slc(Fm[2 * i + 1])
                 phi_p = phi_inits[i](X1_p, X2_p).astype(dtype)
                 mask_p = (phi_p <= 0.0).astype(dtype)
                 known_p = valid_p & (phi_p < 0.0)
                 qs_p.append((X1_p, X2_p, phi_p, mask_p, known_p))
 
             def full_path(u_p=u_p, v_p=v_p, gx_p=gx_p, gy_p=gy_p,
-                          interior_p=interior_p, qs_p=qs_p, c0=c0, c1=c1,
-                          o0=o0, pw=pwl):
+                          extrap_interiors=extrap_interiors,
+                          interior_post=interior_post, post_off=post_off,
+                          cum_trims=cum_trims,
+                          qs_p=qs_p, c0=c0, c1=c1, o0=o0, pw=pwl):
                 # one RK4 backtrace, applied to every component
                 comps = []
                 for (X1, X2, phi, mask, known) in qs_p:
@@ -361,8 +438,8 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                 adv = _advect_sl_rk4(
                     comps, u_p, v_p, dt, dx, dy, gx_p, gy_p, Nx, Ny)
 
-                def core(a):
-                    return a[halo : halo + sl, o0 : o0 + pw]
+                def core(a, roff=0):
+                    return a[halo - roff : halo - roff + sl, o0 : o0 + pw]
 
                 Hf_acc = None
                 one_mH_sum = None
@@ -372,22 +449,31 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                     X2a = adv[2 * i + 1] * mask
                     kf0 = jnp.where(
                         known, jnp.ones((), dtype), jnp.zeros((), dtype))
-                    X1e, X2e = _extrap_sweeps(
-                        X1a, X2a, kf0, fx, fy, interior_p, num_layers)
+                    X1e, X2e, eoff = _extrap_sweeps(
+                        X1a, X2a, kf0, fx, fy, extrap_interiors, num_layers,
+                        cum_trims=cum_trims)
+                    # post window: the rebuild/stress only read +-1 of the
+                    # core, so trim to the post schedule (may be a no-op
+                    # when the last layer already sits on the 8-row floor)
+                    ptrim = post_off - eoff
+                    if ptrim:
+                        X1e = X1e[ptrim:-ptrim, :]
+                        X2e = X2e[ptrim:-ptrim, :]
+                        eoff = post_off
                     phi2 = phi_inits[i](X1e, X2e).astype(dtype)
                     sxx, sxy, syy, J = _stress(
                         X1e, X2e, phi2, dx, dy, mu_s, kappa,
-                        stress_w_cut, stress_clamp, interior_p)
+                        stress_w_cut, stress_clamp, interior_post)
                     H = _heaviside(phi2, w_t)
                     one_mH = 1.0 - H
 
-                    x1e_ref[i, :, c0:c1] = core(X1e)
-                    x2e_ref[i, :, c0:c1] = core(X2e)
-                    phi_ref[i, :, c0:c1] = core(phi2)
-                    sxx_ref[i, :, c0:c1] = core(sxx)
-                    sxy_ref[i, :, c0:c1] = core(sxy)
-                    syy_ref[i, :, c0:c1] = core(syy)
-                    j_ref[i, :, c0:c1] = core(J)
+                    x1e_ref[i, :, c0:c1] = core(X1e, post_off)
+                    x2e_ref[i, :, c0:c1] = core(X2e, post_off)
+                    phi_ref[i, :, c0:c1] = core(phi2, post_off)
+                    sxx_ref[i, :, c0:c1] = core(sxx, post_off)
+                    sxy_ref[i, :, c0:c1] = core(sxy, post_off)
+                    syy_ref[i, :, c0:c1] = core(syy, post_off)
+                    j_ref[i, :, c0:c1] = core(J, post_off)
 
                     Hf_acc = H if Hf_acc is None else Hf_acc + H
                     one_mH_sum = (
@@ -401,11 +487,11 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
 
                 Hf = Hf_acc - (S - 1.0)
                 rho_local = Hf * rho_f + one_mH_sum * rho_s
-                hf_ref[:, c0:c1] = core(Hf)
-                rho_ref[:, c0:c1] = core(rho_local)
-                sbxx_ref[:, c0:c1] = core(sb_xx)
-                sbxy_ref[:, c0:c1] = core(sb_xy)
-                sbyy_ref[:, c0:c1] = core(sb_yy)
+                hf_ref[:, c0:c1] = core(Hf, post_off)
+                rho_ref[:, c0:c1] = core(rho_local, post_off)
+                sbxx_ref[:, c0:c1] = core(sb_xx, post_off)
+                sbxy_ref[:, c0:c1] = core(sb_xy, post_off)
+                sbyy_ref[:, c0:c1] = core(sb_yy, post_off)
 
             if not tile_skip:
                 full_path()
@@ -531,9 +617,9 @@ def rmt_block_fused(
         raise ValueError("grid does not tile; call rmt_block_supported")
 
     dtype = u.dtype
-    stacked = jnp.concatenate(
-        [u[None], v[None], *[jnp.stack([X1s[i], X2s[i]]) for i in range(S)]]
-    )
+    fields = [u, v]
+    for i in range(S):
+        fields += [X1s[i], X2s[i]]
     dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
     roff = 0 if row_offset is None else row_offset
     coff = 0 if col_offset is None else col_offset
@@ -541,13 +627,11 @@ def rmt_block_fused(
         jnp.asarray(roff, jnp.int32).reshape(()),
         jnp.asarray(coff, jnp.int32).reshape(()),
     ]).reshape(1, 2)
-    C = 2 + 2 * S
-
     grid = (Ny // t,)
-    block = pl.BlockSpec((C, t, Nx), lambda i: (0, i, 0))
-    block_prev = pl.BlockSpec((C, t, Nx), lambda i: (0, jnp.maximum(i - 1, 0), 0))
+    block = pl.BlockSpec((t, Nx), lambda i: (i, 0))
+    block_prev = pl.BlockSpec((t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
     block_next = pl.BlockSpec(
-        (C, t, Nx), lambda i: (0, jnp.minimum(i + 1, grid[0] - 1), 0))
+        (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
     scalar_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
@@ -567,17 +651,22 @@ def rmt_block_fused(
         int(panel_width))
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
     field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
+    in_specs = [scalar_spec, off_spec]
+    operands = [dt_arr, off_arr]
+    for f in fields:
+        in_specs += [block_prev, block, block_next]
+        operands += [f, f, f]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[scalar_spec, off_spec, block_prev, block, block_next],
+        in_specs=in_specs,
         out_specs=(stack_spec,) * 7 + (field_spec,) * 5,
         out_shape=(stackS,) * 7 + (field,) * 5,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(dt_arr, off_arr, stacked, stacked, stacked)
+    )(*operands)
     # fusion boundary for multi-panel grids only: without it XLA merges
     # downstream consumers (the momentum kernel's 11-channel input
     # stacking) into this custom call's fusion, and the combined

@@ -174,12 +174,15 @@ def momentum_core(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, velocity_bc, *, eta_s, dx, dy, dt, mu_f,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
+    ext_is_zero=False,
 ):
     """RK4 velocity update from pre-blended fields.
 
     ``sig_s**_el`` are sum_i (1-H_i) sigma_i, ``mkv`` the Kelvin-Voigt blend
     mask sum_i mask_i (1-H_i) (zeros when eta_s == 0). Used by both
     ``momentum_step_rk4_multi`` and the fused RMT-block path in sim.make_step.
+    ``ext_is_zero`` is a STATIC promise that (f_ext_x, f_ext_y) are
+    identically zero — the fused kernel then elides those fields.
     """
     use_kv = eta_s > 0.0
 
@@ -190,11 +193,16 @@ def momentum_core(
         # per-shard wrapper from parallel/sharding.py)
         from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
 
-        fn = pallas_rk4_fn if pallas_rk4_fn is not None else momentum_rk4_pallas
-        return fn(
+        if pallas_rk4_fn is not None:
+            return pallas_rk4_fn(
+                u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
+                f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s,
+                velocity_bc.kernel_spec,
+            )
+        return momentum_rk4_pallas(
             u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
             f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s,
-            velocity_bc.kernel_spec,
+            velocity_bc.kernel_spec, has_ext=not ext_is_zero,
         )
 
     def rhs(u_stage, v_stage):

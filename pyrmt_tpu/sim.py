@@ -87,6 +87,15 @@ class RMTConfig:
     w_c_cells: float = 3.0          # contact half-width in units of dx
     CFL: float = 0.2
     dt_min_cap: float = 1e-3
+    fixed_dt: float | None = None   # bypass compute_timestep entirely and
+                                    # step with EXACTLY this dt (still clipped
+                                    # at t_end). For fixed-dt convergence
+                                    # studies where an adaptive constraint
+                                    # (e.g. viscous ~dx^2) would silently bind
+                                    # below the intended step at fine grids.
+                                    # Caller must ensure stability AND the
+                                    # sub-cell-displacement guard for
+                                    # sl_local (advective CFL < 1).
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
@@ -303,10 +312,14 @@ def make_step(
         u, v, p = state.u, state.v, state.p
         X1s, X2s = state.X1, state.X2
 
-        dt = compute_timestep(
-            u, v, dx, dy, cfg.CFL, cfg.dt_min_cap, cfg.mu_s, cfg.rho_s,
-            cfg.gamma, cfg.rho_f, mu_f=cfg.mu_f, eta_s=cfg.eta_s, kappa=cfg.kappa,
-        )
+        if cfg.fixed_dt is not None:
+            dt = jnp.asarray(cfg.fixed_dt, dtype)
+        else:
+            dt = compute_timestep(
+                u, v, dx, dy, cfg.CFL, cfg.dt_min_cap, cfg.mu_s, cfg.rho_s,
+                cfg.gamma, cfg.rho_f, mu_f=cfg.mu_f, eta_s=cfg.eta_s,
+                kappa=cfg.kappa,
+            )
         dt = jnp.minimum(dt, jnp.maximum(t_end - state.t, 0.0)).astype(dtype)
         # Once t reaches t_end the clipped dt is 0 and the projection's
         # rho*div/dt would produce NaNs; run the step with a safe dt and
@@ -354,9 +367,15 @@ def make_step(
                 f_ext_x = jnp.zeros(g.shape, dtype)
                 f_ext_y = f_ext_x
             if cfg.eta_s > 0.0:
-                H_kv = smoothed_heaviside(phis, cfg.w_t)
-                mkv = jnp.sum(
-                    (phis <= 0.0).astype(dtype) * (1.0 - H_kv), axis=0)
+                if S == 1:
+                    # Hf == H_0 for a single solid: reuse the RMT block's
+                    # blended Heaviside instead of re-evaluating the tanh
+                    # over the full grid (~25 us/step at N=1024).
+                    mkv = (phis[0] <= 0.0).astype(dtype) * (1.0 - Hf)
+                else:
+                    H_kv = smoothed_heaviside(phis, cfg.w_t)
+                    mkv = jnp.sum(
+                        (phis <= 0.0).astype(dtype) * (1.0 - H_kv), axis=0)
             else:
                 mkv = jnp.zeros(g.shape, dtype)
 
@@ -367,6 +386,8 @@ def make_step(
                 use_pallas_rhs=cfg.use_pallas_rhs,
                 use_pallas_rk4=use_pallas_rk4,
                 pallas_rk4_fn=momentum_rk4_impl,
+                ext_is_zero=not (cfg.gamma > 1e-12
+                                 or (cfg.k_rep > 0.0 and S >= 2)),
             )
 
             u_new, v_new, p_new = pressure_projection(

@@ -103,6 +103,49 @@ def test_pallas_full_rk4_matches_xla_path(bc_name):
     assert np.allclose(np.asarray(vx), np.asarray(vp), atol=1e-13)
 
 
+@pytest.mark.parametrize("eta_s", [0.0, 0.01])
+def test_pallas_full_rk4_field_elision(eta_s):
+    """``has_ext=False`` (zero external force) and ``eta_s == 0`` (no
+    Kelvin-Voigt) statically drop kernel input fields; the elided kernel
+    must equal both the full kernel fed explicit zeros and the XLA path."""
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
+    from pyrmt_tpu.physics import momentum_core
+
+    N = 64
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.1 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.1 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    p = 0.05 * jnp.cos(jnp.pi * X) * jnp.cos(jnp.pi * Y)
+    phi = jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2
+    H = 0.5 * (1 + jnp.tanh(phi / (2 * g.dx)))
+    one_m = 1.0 - H
+    sxx = one_m * (1.0 + 0.1 * jnp.sin(3 * X))
+    sxy = one_m * 0.05 * jnp.cos(2 * Y)
+    syy = one_m * (1.0 - 0.1 * X * Y)
+    rho = H * 1.0 + one_m * 1.2
+    mkv = (phi <= 0).astype(jnp.float64) * one_m
+    zero = jnp.zeros_like(u)
+    bc = make_lid_bc(1.0)
+    args = dict(dt=1e-3, dx=g.dx, dy=g.dy, mu_f=0.01, eta_s=eta_s)
+
+    u_el, v_el = momentum_rk4_pallas(
+        u, v, p, sxx, sxy, syy, H, rho, zero, zero, mkv,
+        bc_spec=bc.kernel_spec, has_ext=False, interpret=True, **args)
+    u_full, v_full = momentum_rk4_pallas(
+        u, v, p, sxx, sxy, syy, H, rho, zero, zero, mkv,
+        bc_spec=bc.kernel_spec, has_ext=True, interpret=True, **args)
+    u_xla, v_xla = momentum_core(
+        u, v, p, sxx, sxy, syy, H, rho, zero, zero, mkv, bc, **args)
+
+    assert np.allclose(np.asarray(u_el), np.asarray(u_full), atol=0)
+    assert np.allclose(np.asarray(v_el), np.asarray(v_full), atol=0)
+    assert np.allclose(np.asarray(u_el), np.asarray(u_xla), atol=1e-13)
+    assert np.allclose(np.asarray(v_el), np.asarray(v_xla), atol=1e-13)
+
+
 def test_rmt_block_fused_matches_composed_ops():
     """The fused advect->extrapolate->rebuild->stress->blend kernel equals
     the composed XLA ops to roundoff (one step), and a full sim step through

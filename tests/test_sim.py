@@ -202,3 +202,31 @@ def test_unknown_method_configs_raise():
         bad = dataclasses.replace(cfg, **{field: "bogus"})
         with pytest.raises(ValueError):
             make_step(bad, bc, ())
+
+
+def test_fixed_dt_overrides_adaptive_constraints():
+    """``fixed_dt`` must step with EXACTLY the requested dt even when an
+    adaptive constraint would bind below it (found live: at N=1024 the
+    viscous constraint CFL*dx^2/(4 mu_f) silently bound below a convergence
+    study's intended fixed dt=1e-4 and the finest leg stopped at t=0.119
+    instead of t_end=0.25)."""
+    g = Grid(Nx=33, Ny=33, Lx=1.0, Ly=1.0)
+    # mu_f large enough that dt_visc = CFL*rho*dx^2/(4 mu_f) ~ 1.2e-5 << dt
+    base = dict(grid=g, mu_s=0.1, mu_f=4.0, rho_f=1.0, CFL=0.2,
+                dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    t_end = jnp.asarray(10.0)
+
+    cfg_adapt = RMTConfig(**base)
+    step = make_step(cfg_adapt, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg_adapt, (phi_init,), dtype=jnp.float64)
+    state, aux = step(state, t_end)
+    assert float(aux["dt"]) < 5e-5  # the viscous constraint binds...
+
+    cfg_fixed = RMTConfig(**base, fixed_dt=1e-4)
+    step = make_step(cfg_fixed, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg_fixed, (phi_init,), dtype=jnp.float64)
+    for _ in range(3):
+        state, aux = step(state, t_end)
+    assert float(aux["dt"]) == 1e-4  # ...and fixed_dt overrides it
+    assert abs(float(state.t) - 3e-4) < 1e-15
