@@ -44,7 +44,10 @@ def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
         grid=g, mu_s=0.1, kappa=0.0, rho_s=1.0, eta_s=0.01,
         mu_f=0.01, rho_f=1.0, w_t_cells=2.0, scheme=scheme,
         bc_type="neumann", reinit_method=reinit_method,
-        stress_band=stress_band, detg_clamp=detg_clamp, num_layers=3,
+        stress_band=stress_band, detg_clamp=detg_clamp,
+        # band mode differentiates the outermost extrapolated ring: needs
+        # ceil(w_t/dx)+2 = 4 layers for stability (benchmarks/README.md)
+        num_layers=4 if stress_band else 3,
         CFL=0.2, dt_min_cap=1e-3,
     )
     bc = make_lid_bc(1.0)

@@ -206,7 +206,24 @@ def make_step(
     dx, dy = g.dx, g.dy
     S = len(phi_inits)
     if S > 0:
-        check_narrow_band(cfg.w_t, dx, cfg.num_layers)
+        need = check_narrow_band(cfg.w_t, dx, cfg.num_layers)
+        if cfg.stress_band and cfg.num_layers < need + 1:
+            # Band-mode stability rule (measured, benchmarks/README.md):
+            # the banded central stress differentiates the OUTERMOST
+            # extrapolated ring, and this framework's layer-synchronous
+            # extrapolation (docs/DESIGN.md deviation) leaves that ring
+            # lower-quality than the reference's in-layer-cascading serial
+            # fits — soft-disc-in-lid destabilises at num_layers=3
+            # (blow-up t~3.8) but is stable from 4 up (KE converged).
+            import warnings
+
+            warnings.warn(
+                f"stress_band=True with num_layers={cfg.num_layers}: the "
+                f"banded stress reads the outermost extrapolation ring; "
+                f"use num_layers >= {need + 1} (= ceil(w_t/dx)+2) for "
+                f"stability on demanding flows (see benchmarks/README.md).",
+                stacklevel=2,
+            )
     X, Y = g.coords(dtype=dtype)
 
     if cfg.bc_type == "periodic":

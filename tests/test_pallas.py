@@ -214,6 +214,48 @@ def test_rmt_block_fused_matches_composed_ops():
         rb.rmt_block_fused = orig
 
 
+def test_rmt_block_nonslab_halo_fallback_parity():
+    """When the stencil halo does not divide the row tile (num_layers=2 ->
+    halo=12, tile=32), the kernel falls back from halo-row slab operands to
+    full neighbour-block operands — that fallback must match the composed
+    XLA ops exactly too."""
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+    from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
+    from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+    from pyrmt_tpu.ops.stress import solid_cauchy_stress
+
+    Ny = Nx = 64
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2
+    dx = dy = 1.0 / (Nx - 1)
+    X, Y = jnp.meshgrid(jnp.arange(Nx) * dx, jnp.arange(Ny) * dy)
+    phi0 = phi_init(X, Y)
+    mask = (phi0 <= 0.0).astype(jnp.float64)
+    X1, X2 = extrapolate_reference_map(X * mask, Y * mask, phi0, dx, dy, 2)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 1e-3
+
+    phis = phi_init(X1, X2)
+    m = (phis <= 0.0).astype(jnp.float64)
+    qs = jnp.stack([X1, X2])
+    qs_new = advect_semilagrangian_rk4_local(qs, u, v, dt, dx, dy)
+    X1e, X2e = extrapolate_reference_map(
+        qs_new[0] * m, qs_new[1] * m, phis, dx, dy, 2)
+    phi2 = phi_init(X1e, X2e)
+    sxx, _, _, J = solid_cauchy_stress(
+        X1e, X2e, dx, dy, 0.1, 0.0, phi2, w_cut=0.0, detg_clamp=0.0)
+
+    out = rmt_block_fused(
+        u, v, X1[None], X2[None], dt, phi_inits=(phi_init,), dx=dx, dy=dy,
+        num_layers=2, w_t=1.0 * dx, mu_s=0.1, kappa=0.0, rho_s=1.0,
+        rho_f=1.0, interpret=True)
+    assert np.allclose(np.asarray(X1e), np.asarray(out[0][0]), atol=1e-13)
+    assert np.allclose(np.asarray(X2e), np.asarray(out[1][0]), atol=1e-13)
+    assert np.allclose(np.asarray(phi2), np.asarray(out[2][0]), atol=1e-13)
+    assert np.allclose(np.asarray(sxx), np.asarray(out[3][0]), atol=1e-13)
+    assert np.allclose(np.asarray(J), np.asarray(out[6][0]), atol=1e-12)
+
+
 def test_rmt_block_tile_skip_exact():
     """The tile-activity skip (solid-free row tiles take the cheap branch)
     is numerically EXACT: with an off-center disc leaving half the row

@@ -230,3 +230,24 @@ def test_fixed_dt_overrides_adaptive_constraints():
         state, aux = step(state, t_end)
     assert float(aux["dt"]) == 1e-4  # ...and fixed_dt overrides it
     assert abs(float(state.t) - 3e-4) < 1e-15
+
+
+def test_stress_band_underlayered_warns():
+    """Band mode below the measured stability bound num_layers >=
+    ceil(w_t/dx)+2 must warn (benchmarks/README.md: num_layers=3 blows up
+    on soft-disc-in-lid; 4+ is stable)."""
+    import warnings
+
+    g = Grid(Nx=32, Ny=32, Lx=1.0, Ly=1.0)
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+    base = dict(grid=g, mu_s=0.1, mu_f=0.01, rho_f=1.0, w_t_cells=2.0,
+                stress_band=True)
+
+    with pytest.warns(UserWarning, match="outermost extrapolation ring"):
+        make_step(RMTConfig(**base, num_layers=3), free_slip_box_bc,
+                  (phi_init,), dtype=jnp.float64)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_step(RMTConfig(**base, num_layers=4), free_slip_box_bc,
+                  (phi_init,), dtype=jnp.float64)
