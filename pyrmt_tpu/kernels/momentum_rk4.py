@@ -112,14 +112,9 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
         dt = dt_ref[0, 0]
 
         def widen(k):
-            # top/bot are _HALO-row slab refs (not full neighbour tiles):
-            # the input DMA per tile is tile + 2*_HALO rows instead of
-            # 3*tile. For the clamped edge tiles the slab rows differ from
-            # the old clamped-neighbour rows, but halo rows outside the
-            # domain are never consumed (the one-sided closures select by
-            # global row index) — parity pinned in tests/test_pallas.py.
-            top, cur, bot = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
-            return jnp.concatenate([top[...], cur[...], bot[...]], axis=0)
+            prev, cur, nxt = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            return jnp.concatenate(
+                [prev[tile - _HALO :, :], cur[...], nxt[:_HALO, :]], axis=0)
 
         u0, v0, p = widen(0), widen(1), widen(2)
         sxx_el, sxy_el, syy_el = widen(3), widen(4), widen(5)
@@ -268,7 +263,7 @@ def momentum_rk4_pallas(
     t = min(tile, Ny)
     while t >= 8 and Ny % t:
         t //= 2
-    if Ny % t or t < _HALO or t % _HALO:
+    if Ny % t or t < _HALO:
         raise ValueError("grid does not tile; call momentum_rk4_supported")
 
     dtype = u.dtype
@@ -290,15 +285,9 @@ def momentum_rk4_pallas(
 
     grid = (Ny // t,)
     block = pl.BlockSpec((t, Nx), lambda i: (i, 0))
-    # halo slabs: _HALO-row blocks around the tile (t and Ny are always
-    # multiples of _HALO here). Clamped to the domain at the edge tiles;
-    # out-of-domain halo rows are never consumed (see widen()).
-    hpt = t // _HALO  # halo blocks per tile
-    nhb = Ny // _HALO
-    block_top = pl.BlockSpec(
-        (_HALO, Nx), lambda i: (jnp.maximum(i * hpt - 1, 0), 0))
-    block_bot = pl.BlockSpec(
-        (_HALO, Nx), lambda i: (jnp.minimum((i + 1) * hpt, nhb - 1), 0))
+    block_prev = pl.BlockSpec((t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
+    block_next = pl.BlockSpec(
+        (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
     scalar_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
@@ -315,7 +304,7 @@ def momentum_rk4_pallas(
     in_specs = [scalar_spec, off_spec]
     operands = [dt_arr, off_arr]
     for f in fields:
-        in_specs += [block_top, block, block_bot]
+        in_specs += [block_prev, block, block_next]
         operands += [f, f, f]
     u_new, v_new = pl.pallas_call(
         kernel,
