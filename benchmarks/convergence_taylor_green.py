@@ -21,7 +21,7 @@ import numpy as np
 
 
 def simulate_tg(N, scheme, t_end=0.25, dt=1.0e-4, stress_band=False,
-                dtype="float32"):
+                dtype="float32", num_layers=3):
     """Run disc-in-TG to t_end with FIXED dt; return final fields + energies."""
     import jax
     import jax.numpy as jnp
@@ -38,7 +38,9 @@ def simulate_tg(N, scheme, t_end=0.25, dt=1.0e-4, stress_band=False,
     cfg = RMTConfig(
         grid=g, mu_s=1.0, kappa=0.0, rho_s=1.0, eta_s=0.0, mu_f=1.0e-3,
         rho_f=1.0, w_t_cells=2.0, scheme=scheme, stress_band=stress_band,
-        num_layers=3, CFL=0.2,
+        # band mode: ceil(w_t/dx)+2 for the measured stability rule
+        # (benchmarks/README.md section stress_band)
+        num_layers=num_layers, CFL=0.2,
         fixed_dt=dt,  # TRULY fixed: at N>=1024 the adaptive viscous
         # constraint (CFL*dx^2/(4 mu_f) < 1e-4) would otherwise silently
         # bind below the intended step and the leg would stop short of t_end
@@ -106,13 +108,14 @@ def richardson_order(values):
 
 def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
         dt=1.0e-4, stress_band=False, dtype="float32", out_root="outputs",
-        verbose=True, cache=False):
+        verbose=True, cache=False, num_layers=3):
     if verbose:
         print(f"[convergence-TG] scheme={scheme} grids={grids} ref={N_ref} "
               f"t={t_end} dt={dt} dtype={dtype} stress_band={stress_band}")
     from benchmarks.common import ensure_dir
 
-    tag = f"convergence_tg_{scheme}" + ("_band" if stress_band else "")
+    tag = (f"convergence_tg_{scheme}" + ("_band" if stress_band else "")
+           + (f"_L{num_layers}" if num_layers != 3 else ""))
     out_dir = ensure_dir(os.path.join(out_root, tag))
     sols = {}
     for N in list(grids) + [N_ref]:
@@ -127,7 +130,8 @@ def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
                 print(f"  N={N:4d} (cached: {cpath})")
             continue
         t0 = time.perf_counter()
-        sols[N] = simulate_tg(N, scheme, t_end, dt, stress_band, dtype)
+        sols[N] = simulate_tg(N, scheme, t_end, dt, stress_band, dtype,
+                              num_layers=num_layers)
         if verbose:
             s = sols[N]
             print(f"  N={N:4d} dx={s['dx']:.5f} ke={s['ke']:.6e} "
