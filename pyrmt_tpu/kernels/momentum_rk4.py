@@ -88,7 +88,7 @@ def _apply_bc(u, v, bc_spec, grow, gcol, Ny, Nx, dtype):
 
 
 def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
-                 col_split, has_ext):
+                 col_split, has_ext, slab_halo):
     """``Ny``/``Nx`` are the GLOBAL domain extents (closure/BC anchoring);
     ``Nx_local`` is the input slab width (== Nx single-device, local cols +
     2*halo under the 2D shard_map wrapper). ``col_split`` selects the
@@ -112,9 +112,19 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
         dt = dt_ref[0, 0]
 
         def widen(k):
-            prev, cur, nxt = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            top, cur, bot = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            if slab_halo:
+                # top/bot are _HALO-row slab refs (not full neighbour
+                # tiles): the input DMA per tile is tile + 2*_HALO rows
+                # instead of 3*tile. For the clamped edge tiles the slab
+                # rows differ from the old clamped-neighbour rows, but halo
+                # rows outside the domain are never consumed (the one-sided
+                # closures select by global row index) — parity pinned in
+                # tests/test_pallas.py.
+                return jnp.concatenate(
+                    [top[...], cur[...], bot[...]], axis=0)
             return jnp.concatenate(
-                [prev[tile - _HALO :, :], cur[...], nxt[:_HALO, :]], axis=0)
+                [top[tile - _HALO :, :], cur[...], bot[:_HALO, :]], axis=0)
 
         u0, v0, p = widen(0), widen(1), widen(2)
         sxx_el, sxy_el, syy_el = widen(3), widen(4), widen(5)
@@ -223,13 +233,14 @@ def _nfields(has_ext, use_kv):
 @partial(
     jax.jit,
     static_argnames=("dx", "dy", "mu_f", "eta_s", "bc_spec", "tile",
-                     "interpret", "Ny_total", "Nx_total", "has_ext"),
+                     "interpret", "Ny_total", "Nx_total", "has_ext",
+                     "slab_halo"),
 )
 def momentum_rk4_pallas(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s, bc_spec,
     tile=None, interpret=False, row_offset=None, Ny_total=None,
-    col_offset=None, Nx_total=None, has_ext=True,
+    col_offset=None, Nx_total=None, has_ext=True, slab_halo=False,
 ):
     """Fused full-RK4 momentum update. Returns (u_new, v_new).
 
@@ -245,6 +256,14 @@ def momentum_rk4_pallas(
     column-split mesh axis) support the shard_map wrapper
     (parallel/sharding.py) — see kernels/rmt_block.py for the staleness
     argument that makes halo-padded per-shard slabs exact.
+
+    ``slab_halo=True`` streams _HALO-row slab operands instead of full
+    neighbour tiles (input DMA tile + 2*_HALO rows instead of 3*tile).
+    Numerically identical (parity pinned in tests/test_pallas.py); held
+    behind an opt-in flag until the BlockSpecs have compiled on the real
+    Mosaic toolchain (cfg.kernel_slab_halo threads it end-to-end).
+    Silently falls back to full neighbour tiles when the row tiling is not
+    _HALO-aligned.
     """
     Ny, Nx = u.shape
     if Ny_total is None:
@@ -265,6 +284,7 @@ def momentum_rk4_pallas(
         t //= 2
     if Ny % t or t < _HALO:
         raise ValueError("grid does not tile; call momentum_rk4_supported")
+    use_slab = slab_halo and t % _HALO == 0 and Ny % _HALO == 0
 
     dtype = u.dtype
     z = jnp.zeros_like(u)
@@ -285,9 +305,21 @@ def momentum_rk4_pallas(
 
     grid = (Ny // t,)
     block = pl.BlockSpec((t, Nx), lambda i: (i, 0))
-    block_prev = pl.BlockSpec((t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
-    block_next = pl.BlockSpec(
-        (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
+    if use_slab:
+        # halo slabs: _HALO-row blocks around the tile (t and Ny are
+        # multiples of _HALO when use_slab). Clamped to the domain at the
+        # edge tiles; out-of-domain halo rows are never consumed (widen()).
+        hpt = t // _HALO  # halo blocks per tile
+        nhb = Ny // _HALO
+        block_top = pl.BlockSpec(
+            (_HALO, Nx), lambda i: (jnp.maximum(i * hpt - 1, 0), 0))
+        block_bot = pl.BlockSpec(
+            (_HALO, Nx), lambda i: (jnp.minimum((i + 1) * hpt, nhb - 1), 0))
+    else:
+        block_top = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
+        block_bot = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
     scalar_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
@@ -300,11 +332,12 @@ def momentum_rk4_pallas(
 
     kernel = _make_kernel(
         float(dx), float(dy), float(mu_f), float(eta_s), Ny_total, Nx_total,
-        Nx, t, bc_spec, col_split=col_offset is not None, has_ext=has_ext)
+        Nx, t, bc_spec, col_split=col_offset is not None, has_ext=has_ext,
+        slab_halo=use_slab)
     in_specs = [scalar_spec, off_spec]
     operands = [dt_arr, off_arr]
     for f in fields:
-        in_specs += [block_prev, block, block_next]
+        in_specs += [block_top, block, block_bot]
         operands += [f, f, f]
     u_new, v_new = pl.pallas_call(
         kernel,

@@ -315,7 +315,7 @@ def _panel_width(Nx):
 
 def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                  w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp,
-                 tile_skip, pw):
+                 tile_skip, pw, slab_halo):
     """``Ny``/``Nx`` are the GLOBAL domain extents (masks, advection clamp);
     ``Nxl`` is the input slab width (== Nx single-device, local cols +
     2*halo under the 2D shard_map wrapper); ``pw`` the column-panel width."""
@@ -336,6 +336,14 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
 
         def widen(k):
             prev, cur, nxt = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            if slab_halo:
+                # prev/nxt are halo-row slab refs (input DMA tile + 2*halo
+                # rows instead of 3*tile); clamped edge-slab rows differ
+                # from the old clamped-neighbour rows but out-of-domain
+                # halo rows are never consumed (global-row-index masks) —
+                # parity pinned in tests/test_pallas.py.
+                return jnp.concatenate(
+                    [prev[...], cur[...], nxt[...]], axis=0)
             return jnp.concatenate(
                 [prev[tile - halo :, :], cur[...], nxt[:halo, :]], axis=0)
 
@@ -567,13 +575,13 @@ def rmt_block_supported(Ny, num_layers, S):
     static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
                      "kappa", "rho_s", "rho_f", "stress_w_cut",
                      "stress_clamp", "tile", "interpret", "Ny_total",
-                     "tile_skip", "Nx_total", "panel_width"),
+                     "tile_skip", "Nx_total", "panel_width", "slab_halo"),
 )
 def rmt_block_fused(
     u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
     rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=None,
     interpret=False, row_offset=None, Ny_total=None, tile_skip=True,
-    col_offset=None, Nx_total=None, panel_width=None,
+    col_offset=None, Nx_total=None, panel_width=None, slab_halo=False,
 ):
     """Fused advect→extrapolate→rebuild→stress→blend pipeline.
 
@@ -629,9 +637,24 @@ def rmt_block_fused(
     ]).reshape(1, 2)
     grid = (Ny // t,)
     block = pl.BlockSpec((t, Nx), lambda i: (i, 0))
-    block_prev = pl.BlockSpec((t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
-    block_next = pl.BlockSpec(
-        (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
+    # halo-row slab operands where the tiling allows (saves ~2x input DMA);
+    # fall back to full neighbour blocks otherwise. Opt-in via the
+    # ``slab_halo`` argument (cfg.kernel_slab_halo) until the slab
+    # BlockSpecs have compiled on the real Mosaic toolchain — parity is
+    # pinned in tests/test_pallas.py either way.
+    slab_halo = slab_halo and (t % halo == 0) and (Ny % halo == 0)
+    if slab_halo:
+        hpt = t // halo
+        nhb = Ny // halo
+        block_prev = pl.BlockSpec(
+            (halo, Nx), lambda i: (jnp.maximum(i * hpt - 1, 0), 0))
+        block_next = pl.BlockSpec(
+            (halo, Nx), lambda i: (jnp.minimum((i + 1) * hpt, nhb - 1), 0))
+    else:
+        block_prev = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
+        block_next = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
     scalar_spec = pl.BlockSpec(
         (1, 1), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
@@ -648,7 +671,7 @@ def rmt_block_fused(
         num_layers,
         float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
         float(stress_w_cut), float(stress_clamp), bool(tile_skip),
-        int(panel_width))
+        int(panel_width), slab_halo)
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
     field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
     in_specs = [scalar_spec, off_spec]

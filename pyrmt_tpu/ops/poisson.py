@@ -129,18 +129,41 @@ def precompute_dct_matrices(Nx, Ny, dtype=jnp.float32):
     return Ey, Oy, Ex, Ox, Iey, Ioy, Iex, Iox
 
 
-# f32 matmul precision for the DCT transforms. HIGHEST (6-pass bf16
-# emulation) keeps the matmul path equal to the FFT path to roundoff —
-# the parity requirement; module-level so perf experiments can probe the
-# cheaper passes without threading a parameter through every caller.
-_MM_PRECISION = jax.lax.Precision.HIGHEST
+# f32 matmul precision for the DCT transforms. The default HIGHEST (6-pass
+# bf16 emulation) keeps the matmul path equal to the FFT path to roundoff —
+# the parity formulation pinned in tests/test_poisson.py. 'high' (3-pass)
+# halves the MXU time; its solution difference vs HIGHEST is ~7e-5 relative
+# (~1e-8 absolute on the headline solve) — below the f32 roundoff of the
+# pressure field itself, and verified not to move any recorded f32
+# validation metric (docs/PERFORMANCE.md). Threaded as an explicit
+# ``precision`` parameter (RMTConfig.dct_precision) so the choice is part
+# of the traced program, not hidden module state.
+_PRECISIONS = {
+    None: jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=_MM_PRECISION)
+def resolve_matmul_precision(precision):
+    """Map None/'highest'/'high'/'default' (or a jax.lax.Precision) to a
+    jax.lax.Precision."""
+    if isinstance(precision, jax.lax.Precision):
+        return precision
+    try:
+        return _PRECISIONS[precision]
+    except KeyError:
+        raise ValueError(
+            f"unknown dct matmul precision {precision!r}; expected one of "
+            f"{sorted(k for k in _PRECISIONS if k)}") from None
 
 
-def _dct1_rows_folded(x, E, O):
+def _mm(a, b, precision=None):
+    return jnp.matmul(a, b, precision=resolve_matmul_precision(precision))
+
+
+def _dct1_rows_folded(x, E, O, precision=None):
     """Folded DCT-I down the rows: interleave(E @ e, O @ o)."""
     ne, no = E.shape[0], O.shape[0]
     N = ne + no
@@ -149,27 +172,27 @@ def _dct1_rows_folded(x, E, O):
     if ne > no:  # odd N: the middle row pairs with itself
         e = jnp.concatenate([e, x[no:no + 1]], axis=0)
     o = x[:no] - xr
-    ye = _mm(E.astype(x.dtype), e)
-    yo = _mm(O.astype(x.dtype), o)
+    ye = _mm(E.astype(x.dtype), e, precision)
+    yo = _mm(O.astype(x.dtype), o, precision)
     if ne > no:
         yo = jnp.concatenate([yo, jnp.zeros_like(yo[:1])], axis=0)
     return jnp.stack([ye, yo], axis=1).reshape(2 * ne, -1)[:N]
 
 
-def dct1_2d_matmul(x, mats):
+def dct1_2d_matmul(x, mats, precision=None):
     """2D unnormalised DCT-I via four half-size MXU matmuls (one even/odd
     folded pass per axis); same transform as ``dct1_2d`` to roundoff."""
     Ey, Oy, Ex, Ox = mats[:4]
-    y = _dct1_rows_folded(x, Ey, Oy)
-    return _dct1_rows_folded(y.T, Ex, Ox).T
+    y = _dct1_rows_folded(x, Ey, Oy, precision)
+    return _dct1_rows_folded(y.T, Ex, Ox, precision).T
 
 
-def idct1_2d_matmul(x, mats):
+def idct1_2d_matmul(x, mats, precision=None):
     Ey, Oy, Ex, Ox = mats[:4]
     Ny = Ey.shape[0] + Oy.shape[0]
     Nx = Ex.shape[0] + Ox.shape[0]
     scale = 1.0 / (2.0 * (Ny - 1) * 2.0 * (Nx - 1))
-    return dct1_2d_matmul(x, mats) * jnp.asarray(scale, x.dtype)
+    return dct1_2d_matmul(x, mats, precision) * jnp.asarray(scale, x.dtype)
 
 
 def _fold_rows(x, ne, no):
@@ -182,7 +205,7 @@ def _fold_rows(x, ne, no):
     return e, x[:no] - xr
 
 
-def _dct1_2d_blocks(x, mats):
+def _dct1_2d_blocks(x, mats, precision=None):
     """Forward 2D DCT-I straight into fold order: four parity blocks
     (Bee, Boe, Beo, Boo) with B<py><px>[k1, k2] = xhat[2k1(+1), 2k2(+1)].
     Same matmul count as the interleaved path, zero relayouts."""
@@ -196,16 +219,17 @@ def _dct1_2d_blocks(x, mats):
     if ne_x > no_x:
         ex = jnp.concatenate([ex, x[:, no_x:ne_x]], axis=1)
     ox = x[:, :no_x] - xr
-    Ae = _mm(ex, Ex.T)  # (Ny, ne_x): even-kx spectral columns
-    Ao = _mm(ox, Ox.T)  # (Ny, no_x): odd-kx
+    Ae = _mm(ex, Ex.T, precision)  # (Ny, ne_x): even-kx spectral columns
+    Ao = _mm(ox, Ox.T, precision)  # (Ny, no_x): odd-kx
     # y-axis fold + transform (rows)
     ne_y, no_y = Ey.shape[0], Oy.shape[0]
     eye, oye = _fold_rows(Ae, ne_y, no_y)
     eyo, oyo = _fold_rows(Ao, ne_y, no_y)
-    return _mm(Ey, eye), _mm(Oy, oye), _mm(Ey, eyo), _mm(Oy, oyo)
+    return (_mm(Ey, eye, precision), _mm(Oy, oye, precision),
+            _mm(Ey, eyo, precision), _mm(Oy, oyo, precision))
 
 
-def _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, mats):
+def _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, mats, precision=None):
     """Inverse of ``_dct1_2d_blocks`` (including the 1/(4(Ny-1)(Nx-1))
     normalisation): fold-order inverse factors plus two symmetric /
     antisymmetric reconstruction butterflies."""
@@ -220,10 +244,12 @@ def _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, mats):
     def unfold_rows(s, a, no):
         return jnp.concatenate([s + a, (s - a)[:no][::-1]], axis=0)
 
-    Ze = unfold_rows(_mm(Iey, Bee), _mm(Ioy, Boe), no_y)  # (Ny, ne_x)
-    Zo = unfold_rows(_mm(Iey, Beo), _mm(Ioy, Boo), no_y)  # (Ny, no_x)
-    s2 = _mm(Ze, Iex.T)
-    a2 = _mm(Zo, Iox.T)
+    Ze = unfold_rows(_mm(Iey, Bee, precision),
+                     _mm(Ioy, Boe, precision), no_y)  # (Ny, ne_x)
+    Zo = unfold_rows(_mm(Iey, Beo, precision),
+                     _mm(Ioy, Boo, precision), no_y)  # (Ny, no_x)
+    s2 = _mm(Ze, Iex.T, precision)
+    a2 = _mm(Zo, Iox.T, precision)
     out = jnp.concatenate([s2 + a2, (s2 - a2)[:, :no_x][:, ::-1]], axis=1)
     scale = 1.0 / (2.0 * (Ny - 1) * 2.0 * (Nx - 1))
     return out * jnp.asarray(scale, dt)
@@ -278,7 +304,7 @@ def precompute_poisson_eigenvalues(Nx, Ny, dx, dy, dtype=jnp.float64):
     return jnp.asarray(eig, dtype=dtype)
 
 
-def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None):
+def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None, precision=None):
     """Direct Neumann Poisson solve (pyRMT/functions.py:1028-1040).
 
     DCT-I diagonalises the asymmetric ghost-mirror matrix exactly; the
@@ -296,7 +322,7 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None):
     slices are pathologically slow on the TPU backend.
     """
     if dct_mats is not None:
-        Bs = _dct1_2d_blocks(rhs_2d, dct_mats)
+        Bs = _dct1_2d_blocks(rhs_2d, dct_mats, precision)
         dt = Bs[0].dtype
         if isinstance(eigenvalues, jax.core.Tracer):
             eig = eigenvalues.astype(dt)
@@ -310,7 +336,7 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None):
                 jnp.asarray(e[a::2, b::2], dt)
                 for a, b in ((0, 0), (1, 0), (0, 1), (1, 1)))
         Bee, Boe, Beo, Boo = (b / eb for b, eb in zip(Bs, eig_blocks))
-        p = _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, dct_mats)
+        p = _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, dct_mats, precision)
     else:
         rhs_hat = dct1_2d(rhs_2d)
         p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)
@@ -506,9 +532,10 @@ def apply_variable_poisson(p, inv_rho, dx, dy):
     return out
 
 
-@partial(jax.jit, static_argnames=("dx", "dy", "tol", "maxiter"))
+@partial(jax.jit, static_argnames=("dx", "dy", "tol", "maxiter", "precision"))
 def solve_variable_poisson_cg(
-    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None
+    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None,
+    precision=None,
 ):
     """Matrix-free CG for the variable-density Poisson problem, preconditioned
     by the constant-coefficient DCT direct solve (the reference's own fast
@@ -518,7 +545,8 @@ def solve_variable_poisson_cg(
         return apply_variable_poisson(p, inv_rho, dx, dy)
 
     def precond(r):
-        return solve_poisson_dct(r, eigenvalues, dct_mats=dct_mats)
+        return solve_poisson_dct(r, eigenvalues, dct_mats=dct_mats,
+                                 precision=precision)
 
     rhs = rhs - jnp.mean(rhs)
     p, _ = jax.scipy.sparse.linalg.cg(

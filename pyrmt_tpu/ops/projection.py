@@ -49,6 +49,7 @@ def pressure_projection(
     dct_mats=None,
     stencil_bc_spec=None,
     stencil_interpret=False,
+    dct_precision=None,
 ):
     """Project (a*, b*) onto a (discretely) divergence-free field.
 
@@ -60,7 +61,10 @@ def pressure_projection(
     the stock BCs' kernel_spec) routes the incremental constant-rho Neumann
     stencil chains through the fused Pallas passes
     (kernels/projection_stencils.py) — roundoff-identical to the XLA ops,
-    including the in-kernel velocity BC. Returns (a, b, p).
+    including the in-kernel velocity BC. ``dct_precision``
+    (None/'highest'/'high') sets the MXU matmul precision of the DCT
+    transforms when ``dct_mats`` is given — see ops/poisson.py. Returns
+    (a, b, p).
     """
     rho = jnp.asarray(rho, dtype=a_star.dtype)
     use_stencil_kernels = (
@@ -99,7 +103,8 @@ def pressure_projection(
         rhs_2d = rc_rhs_pallas(a_star, b_star, p_prev, rho, dt, d_scalar,
                                dx, dy, interpret=stencil_interpret)
         p_correction = solve_poisson_dct(rhs_2d, eigenvalues,
-                                         dct_mats=dct_mats)
+                                         dct_mats=dct_mats,
+                                         precision=dct_precision)
         a, b = grad_correct_pallas(p_correction, a_star, b_star, rho, dt,
                                    dx, dy, stencil_bc_spec,
                                    interpret=stencil_interpret)
@@ -118,11 +123,13 @@ def pressure_projection(
         inv_rho = 1.0 / rho
         p_correction = solve_variable_poisson_cg(
             rhs, inv_rho, eigenvalues, dx, dy, tol=cg_tol, maxiter=cg_maxiter,
-            dct_mats=dct_mats,
+            dct_mats=dct_mats, precision=dct_precision,
         )
     else:
         rhs_2d = rho * divU / dt
-        p_correction = solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=dct_mats)
+        p_correction = solve_poisson_dct(rhs_2d, eigenvalues,
+                                         dct_mats=dct_mats,
+                                         precision=dct_precision)
 
     dpdx, dpdy = compute_pressure_gradient(p_correction, dx, dy)
     a = a_star - (dt / rho) * dpdx

@@ -127,6 +127,7 @@ def momentum_step_rk4_multi(
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
+    pallas_rk4_kwargs=None,
 ):
     """Generic n-solid RK4 momentum step.
 
@@ -166,6 +167,7 @@ def momentum_step_rk4_multi(
         f_ext_x, f_ext_y, mkv, velocity_bc, eta_s=eta_s, dx=dx, dy=dy,
         dt=dt, mu_f=mu_f, use_pallas_rhs=use_pallas_rhs,
         use_pallas_rk4=use_pallas_rk4, pallas_rk4_fn=pallas_rk4_fn,
+        pallas_rk4_kwargs=pallas_rk4_kwargs,
     )
     return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
 
@@ -174,7 +176,7 @@ def momentum_core(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, velocity_bc, *, eta_s, dx, dy, dt, mu_f,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
-    ext_is_zero=False,
+    ext_is_zero=False, pallas_rk4_kwargs=None,
 ):
     """RK4 velocity update from pre-blended fields.
 
@@ -203,6 +205,7 @@ def momentum_core(
             u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
             f_ext_x, f_ext_y, mkv, dt, dx, dy, mu_f, eta_s,
             velocity_bc.kernel_spec, has_ext=not ext_is_zero,
+            **(pallas_rk4_kwargs or {}),
         )
 
     def rhs(u_stage, v_stage):

@@ -99,6 +99,13 @@ class RMTConfig:
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
+    dct_precision: str = "highest"  # MXU matmul precision of the DCT solves
+                                    # ('highest' | 'high'): 'high' (3-pass
+                                    # bf16) halves the DCT's MXU time; its
+                                    # solution difference is ~1e-8 absolute
+                                    # on the headline solve — below the f32
+                                    # roundoff of the pressure field (see
+                                    # ops/poisson.py)
     extrap_method: str = "auto"     # 'xla' | 'sparse' | 'pallas' | 'auto'
                                     # (auto: pallas on TPU, sparse elsewhere)
     momentum_method: str = "auto"   # 'xla' | 'pallas' | 'auto' (pallas on TPU)
@@ -112,6 +119,11 @@ class RMTConfig:
                                     # halo recompute but need a raised
                                     # --xla_tpu_scoped_vmem_limit_kib at
                                     # full panel width)
+    kernel_slab_halo: bool = False  # opt-in: halo-row slab operands for both
+                                    # fused kernels (input DMA tile+2h rows
+                                    # instead of 3*tile). Parity-pinned in
+                                    # tests/test_pallas.py; off by default
+                                    # until Mosaic-compile-validated on TPU
     projection_method: str = "auto" # 'xla' | 'pallas' | 'auto': fuse the
                                     # projection's pre/post-DCT stencil
                                     # chains into Pallas passes on TPU
@@ -363,6 +375,8 @@ def make_step(
                     tuning["panel_width"] = cfg.rmt_panel_width
                 if cfg.rmt_tile is not None:
                     tuning["tile"] = cfg.rmt_tile
+                if cfg.kernel_slab_halo:
+                    tuning["slab_halo"] = True
                 rmt_fn = (functools.partial(rmt_block_fused, **tuning)
                           if tuning else rmt_block_fused)
             (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
@@ -405,6 +419,8 @@ def make_step(
                 pallas_rk4_fn=momentum_rk4_impl,
                 ext_is_zero=not (cfg.gamma > 1e-12
                                  or (cfg.k_rep > 0.0 and S >= 2)),
+                pallas_rk4_kwargs=(
+                    {"slab_halo": True} if cfg.kernel_slab_halo else None),
             )
 
             u_new, v_new, p_new = pressure_projection(
@@ -413,6 +429,7 @@ def make_step(
                 variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
                 cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
                 stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
+                dct_precision=cfg.dct_precision,
             )
 
             frz = lambda new, old: jnp.where(active, new, old)
@@ -507,6 +524,8 @@ def make_step(
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
             use_pallas_rhs=cfg.use_pallas_rhs, use_pallas_rk4=use_pallas_rk4,
             pallas_rk4_fn=momentum_rk4_impl,
+            pallas_rk4_kwargs=(
+                {"slab_halo": True} if cfg.kernel_slab_halo else None),
         )
 
         # (6) projection with the mixture density
@@ -523,6 +542,7 @@ def make_step(
             variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
             cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
             stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
+            dct_precision=cfg.dct_precision,
         )
 
         frz = lambda new, old: jnp.where(active, new, old)

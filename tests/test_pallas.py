@@ -215,10 +215,10 @@ def test_rmt_block_fused_matches_composed_ops():
 
 
 def test_rmt_block_nonslab_halo_fallback_parity():
-    """When the stencil halo does not divide the row tile (num_layers=2 ->
-    halo=12, tile=32), the kernel falls back from halo-row slab operands to
-    full neighbour-block operands — that fallback must match the composed
-    XLA ops exactly too."""
+    """When ``slab_halo=True`` is requested but the stencil halo does not
+    divide the row tile (num_layers=2 -> halo=12, tile=32), the kernel falls
+    back from halo-row slab operands to full neighbour-block operands — that
+    fallback must match the composed XLA ops exactly too."""
     from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
     from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
     from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
@@ -248,12 +248,70 @@ def test_rmt_block_nonslab_halo_fallback_parity():
     out = rmt_block_fused(
         u, v, X1[None], X2[None], dt, phi_inits=(phi_init,), dx=dx, dy=dy,
         num_layers=2, w_t=1.0 * dx, mu_s=0.1, kappa=0.0, rho_s=1.0,
-        rho_f=1.0, interpret=True)
+        rho_f=1.0, slab_halo=True, interpret=True)
     assert np.allclose(np.asarray(X1e), np.asarray(out[0][0]), atol=1e-13)
     assert np.allclose(np.asarray(X2e), np.asarray(out[1][0]), atol=1e-13)
     assert np.allclose(np.asarray(phi2), np.asarray(out[2][0]), atol=1e-13)
     assert np.allclose(np.asarray(sxx), np.asarray(out[3][0]), atol=1e-13)
     assert np.allclose(np.asarray(J), np.asarray(out[6][0]), atol=1e-12)
+
+
+def test_slab_halo_operand_parity():
+    """``slab_halo=True`` (halo-row slab input operands: tile + 2h DMA rows
+    instead of 3*tile) must equal the full neighbour-block operands BITWISE
+    in both fused kernels — the slab changes only which never-consumed
+    out-of-domain halo rows the edge tiles see (f64 interpret mode)."""
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+
+    Ny = Nx = 128
+    # disc near the TOP edge so an edge tile runs the full pipeline and
+    # actually reads its (clamped) out-of-domain halo rows
+    phi_init = (
+        lambda X, Y: jnp.sqrt((X - 0.5) ** 2 + (Y - 0.06) ** 2) - 0.1)
+    dx = dy = 1.0 / (Nx - 1)
+    X, Y = jnp.meshgrid(jnp.arange(Nx) * dx, jnp.arange(Ny) * dy)
+    X1 = (X + 0.003 * jnp.sin(2 * jnp.pi * Y)).astype(jnp.float64)
+    X2 = (Y - 0.002 * jnp.cos(2 * jnp.pi * X)).astype(jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 0.2 * dx / 0.3
+
+    # RMT block: num_layers=3 -> halo=16 divides tile=32 -> slab active
+    kw = dict(phi_inits=(phi_init,), dx=dx, dy=dy, num_layers=3, w_t=3 * dx,
+              mu_s=0.1, kappa=1.0, rho_s=1.0, rho_f=1.0, stress_w_cut=3 * dx,
+              stress_clamp=4.0, interpret=True)
+    full = rmt_block_fused(u, v, X1[None], X2[None], dt,
+                           slab_halo=False, **kw)
+    slab = rmt_block_fused(u, v, X1[None], X2[None], dt,
+                           slab_halo=True, **kw)
+    for x, y in zip(slab, full):
+        assert float(jnp.max(jnp.abs(x - y))) == 0.0
+
+    # momentum kernel: _HALO=8 divides tile (64 at Ny=128) -> slab active
+    phi = phi_init(X1, X2)
+    H = 0.5 * (1 + jnp.tanh(phi / (2 * dx)))
+    one_m = 1.0 - H
+    p = 0.05 * jnp.cos(jnp.pi * X) * jnp.cos(jnp.pi * Y)
+    sxx = one_m * (1.0 + 0.1 * jnp.sin(3 * X))
+    sxy = one_m * 0.05 * jnp.cos(2 * Y)
+    syy = one_m * (1.0 - 0.1 * X * Y)
+    rho = H * 1.0 + one_m * 1.2
+    mkv = (phi <= 0).astype(jnp.float64) * one_m
+    fx = 0.01 * jnp.sin(jnp.pi * X) * one_m
+    fy = -0.01 * jnp.cos(jnp.pi * Y) * one_m
+    bc = make_lid_bc(1.0)
+    margs = dict(dt=1e-3, dx=dx, dy=dy, mu_f=0.01, eta_s=0.01,
+                 bc_spec=bc.kernel_spec, interpret=True)
+    uf, vf = momentum_rk4_pallas(
+        u, v, p, sxx, sxy, syy, H, rho, fx, fy, mkv,
+        slab_halo=False, **margs)
+    us, vs = momentum_rk4_pallas(
+        u, v, p, sxx, sxy, syy, H, rho, fx, fy, mkv,
+        slab_halo=True, **margs)
+    assert float(jnp.max(jnp.abs(us - uf))) == 0.0
+    assert float(jnp.max(jnp.abs(vs - vf))) == 0.0
 
 
 def test_rmt_block_tile_skip_exact():
