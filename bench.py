@@ -23,8 +23,8 @@ import sys
 import time
 
 
-def main(N=1024, n_steps=1000, use_pallas=False, slab_halo=False,
-         dct_high=False):
+def main(N=1024, n_steps=1000, use_pallas=False, no_slab=False,
+         dct_highest=False):
     import pyrmt_tpu.runtime as rt
 
     rt.setup()
@@ -40,10 +40,11 @@ def main(N=1024, n_steps=1000, use_pallas=False, slab_halo=False,
     cfg, bc, phi_inits = _flagship(N, jnp.float32)
     if use_pallas:
         cfg = dataclasses.replace(cfg, use_pallas_rhs=True)
-    if slab_halo:
-        cfg = dataclasses.replace(cfg, kernel_slab_halo=True)
-    if dct_high:
-        cfg = dataclasses.replace(cfg, dct_precision="high")
+    # ablation toggles (defaults: slab operands on, dct 'auto' -> high on TPU)
+    if no_slab:
+        cfg = dataclasses.replace(cfg, kernel_slab_halo=False)
+    if dct_highest:
+        cfg = dataclasses.replace(cfg, dct_precision="highest")
     step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
     state = make_init_state(cfg, phi_inits, dtype=jnp.float32)
     t_end = jnp.asarray(1e9, jnp.float32)
@@ -78,10 +79,10 @@ def main(N=1024, n_steps=1000, use_pallas=False, slab_halo=False,
 
 if __name__ == "__main__":
     use_pallas = "--pallas" in sys.argv
-    slab_halo = "--slab" in sys.argv
-    dct_high = "--dct-high" in sys.argv
+    no_slab = "--no-slab" in sys.argv
+    dct_highest = "--dct-highest" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(args[0]) if len(args) > 0 else 1024
     n_steps = int(args[1]) if len(args) > 1 else 1000
-    main(N=N, n_steps=n_steps, use_pallas=use_pallas, slab_halo=slab_halo,
-         dct_high=dct_high)
+    main(N=N, n_steps=n_steps, use_pallas=use_pallas, no_slab=no_slab,
+         dct_highest=dct_highest)

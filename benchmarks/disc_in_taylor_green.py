@@ -24,7 +24,7 @@ import numpy as np
 
 def run(N=128, scheme="semilagrangian", t_end=1.0, out_root="outputs",
         stress_band=False, reinit_method="none", dtype="float32",
-        log_every=50, verbose=True):
+        log_every=50, verbose=True, cfg_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +49,10 @@ def run(N=128, scheme="semilagrangian", t_end=1.0, out_root="outputs",
         bc_type="neumann", reinit_method=reinit_method,
         stress_band=stress_band, num_layers=3, CFL=0.2, dt_min_cap=1e-4,
     )
+    if cfg_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=dt_)
 
     X, Y = g.coords(dtype=dt_)

@@ -24,7 +24,8 @@ import numpy as np
 
 
 def run(Re=100.0, N=129, max_steps=60000, steady_tol=2e-5, chunk=200,
-        dtype="float32", out_root="outputs", verbose=True, resume_from=None):
+        dtype="float32", out_root="outputs", verbose=True, resume_from=None,
+        cfg_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +45,10 @@ def run(Re=100.0, N=129, max_steps=60000, steady_tol=2e-5, chunk=200,
         grid=g, mu_f=mu_f, rho_f=1.0, CFL=0.2, dt_min_cap=1e-2,
         bc_type="neumann",
     )
+    if cfg_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     bc = make_lid_bc(U_lid)
     step = make_step(cfg, bc, phi_inits=(), dtype=dt_)
     if resume_from:

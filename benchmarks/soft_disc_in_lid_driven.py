@@ -25,7 +25,7 @@ import numpy as np
 
 def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
         out_root="outputs", stress_band=False, detg_clamp=3.0, dtype="float32",
-        log_every=100, snapshot_times=None, verbose=True):
+        log_every=100, snapshot_times=None, verbose=True, cfg_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -50,6 +50,10 @@ def run(N=128, scheme="semilagrangian", t_end=8.0, reinit_method="none",
         num_layers=4 if stress_band else 3,
         CFL=0.2, dt_min_cap=1e-3,
     )
+    if cfg_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     bc = make_lid_bc(1.0)
     step = make_step(cfg, bc, (phi_init,), dtype=dt_)
     state = make_init_state(cfg, (phi_init,), dtype=dt_)

@@ -21,7 +21,7 @@ import numpy as np
 
 
 def run(N=128, t_end=2.0, U0=0.12, k_rep=3.0, out_root="outputs",
-        dtype="float32", log_every=50, verbose=True):
+        dtype="float32", log_every=50, verbose=True, cfg_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,10 @@ def run(N=128, t_end=2.0, U0=0.12, k_rep=3.0, out_root="outputs",
         mu_f=0.02, rho_f=1.0, w_t_cells=2.0, w_c_cells=2.0, k_rep=k_rep,
         two_solid_clamp=4.0, num_layers=3, CFL=0.2, dt_min_cap=1e-3,
     )
+    if cfg_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     step = make_step(cfg, free_slip_box_bc, (pia, pib), dtype=dt_)
 
     X, Y = g.coords(dtype=dt_)

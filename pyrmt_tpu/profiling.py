@@ -192,9 +192,8 @@ def ablation_breakdown(N=1024, dtype=None, steps=50, verbose=True):
         ("extrap_method=xla", {"extrap_method": "xla"}),
         ("dct_method=fft", {"dct_method": "fft"}),
         ("sl_local=False (gather advection)", {"sl_local": False}),
-        # opt-IN candidates (gains, not ablations)
-        ("kernel_slab_halo=True", {"kernel_slab_halo": True}),
-        ("dct_precision=high", {"dct_precision": "high"}),
+        ("kernel_slab_halo=False", {"kernel_slab_halo": False}),
+        ("dct_precision=highest", {"dct_precision": "highest"}),
     ]
     state0 = make_init_state(cfg0, phi_inits, dtype=dtype)
     t_end = jnp.asarray(1e9, dtype)

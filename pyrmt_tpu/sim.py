@@ -99,13 +99,19 @@ class RMTConfig:
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
-    dct_precision: str = "highest"  # MXU matmul precision of the DCT solves
-                                    # ('highest' | 'high'): 'high' (3-pass
-                                    # bf16) halves the DCT's MXU time; its
-                                    # solution difference is ~1e-8 absolute
-                                    # on the headline solve — below the f32
-                                    # roundoff of the pressure field (see
-                                    # ops/poisson.py)
+    dct_precision: str = "auto"     # MXU matmul precision of the DCT solves
+                                    # ('auto' | 'highest' | 'high'). 'high'
+                                    # (3-pass bf16) halves the DCT's MXU
+                                    # time; its solution difference is
+                                    # ~1e-8 absolute on the headline solve —
+                                    # below the f32 roundoff of the pressure
+                                    # field, and re-validated against every
+                                    # recorded f32 TPU metric
+                                    # (benchmarks/README.md). 'auto' = high
+                                    # on TPU, highest elsewhere; set
+                                    # 'highest' to recover the exact
+                                    # FFT-parity transform (always the case
+                                    # on CPU, where precision is a no-op)
     extrap_method: str = "auto"     # 'xla' | 'sparse' | 'pallas' | 'auto'
                                     # (auto: pallas on TPU, sparse elsewhere)
     momentum_method: str = "auto"   # 'xla' | 'pallas' | 'auto' (pallas on TPU)
@@ -119,11 +125,15 @@ class RMTConfig:
                                     # halo recompute but need a raised
                                     # --xla_tpu_scoped_vmem_limit_kib at
                                     # full panel width)
-    kernel_slab_halo: bool = False  # opt-in: halo-row slab operands for both
-                                    # fused kernels (input DMA tile+2h rows
-                                    # instead of 3*tile). Parity-pinned in
-                                    # tests/test_pallas.py; off by default
-                                    # until Mosaic-compile-validated on TPU
+    kernel_slab_halo: bool = True   # halo-row slab operands for both fused
+                                    # kernels (input DMA tile+2h rows
+                                    # instead of 3*tile). BITWISE identical
+                                    # to the full neighbour-block operands
+                                    # (pinned in tests/test_pallas.py);
+                                    # Mosaic-compile-validated on TPU at
+                                    # N=129..2048. Falls back per kernel
+                                    # when the row tiling is not
+                                    # halo-aligned
     projection_method: str = "auto" # 'xla' | 'pallas' | 'auto': fuse the
                                     # projection's pre/post-DCT stencil
                                     # chains into Pallas passes on TPU
@@ -159,6 +169,17 @@ def _resolve_dct_mats(method: str, Nx: int, Ny: int, dtype):
     if method != "fft":
         raise ValueError(f"unknown dct_method {method!r}")
     return None
+
+
+def _resolve_dct_precision(name: str) -> str | None:
+    """'auto' -> 'high' on TPU (re-validated against every recorded f32
+    metric, see RMTConfig.dct_precision), 'highest' elsewhere (the exact
+    FFT-parity transform; precision is a no-op on CPU anyway)."""
+    if name == "auto":
+        import jax
+
+        return "high" if jax.default_backend() == "tpu" else "highest"
+    return name
 
 
 def required_extrapolation_layers(w_t, dx):
@@ -244,6 +265,7 @@ def make_step(
     else:
         eig = precompute_poisson_eigenvalues(g.Nx, g.Ny, dx, dy, dtype=dtype)
         dct_mats = _resolve_dct_mats(cfg.dct_method, g.Nx, g.Ny, dtype)
+    dct_prec = _resolve_dct_precision(cfg.dct_precision)
 
     # stress mode: single solid follows stress_band; multi-solid uses the
     # legacy interior stress with the collision clamp (reference behaviour)
@@ -429,7 +451,7 @@ def make_step(
                 variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
                 cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
                 stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
-                dct_precision=cfg.dct_precision,
+                dct_precision=dct_prec,
             )
 
             frz = lambda new, old: jnp.where(active, new, old)
@@ -542,7 +564,7 @@ def make_step(
             variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
             cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
             stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
-            dct_precision=cfg.dct_precision,
+            dct_precision=dct_prec,
         )
 
         frz = lambda new, old: jnp.where(active, new, old)
