@@ -11,8 +11,8 @@ the reference's favour). vs_baseline = projected_ref_step_time / our_step_time.
 
 Usage: python bench.py [N] [steps]
 
-The default 1000-step chunk amortises this box's fixed per-dispatch tunnel
-latency (~25 ms per chunk through the remote TPU frontend) to ~2% of the
+The default 2000-step chunk amortises this box's fixed per-dispatch tunnel
+latency (~25 ms per chunk through the remote TPU frontend) to ~1% of the
 step time; the resulting number matches the device-busy time from
 jax.profiler traces. Best of 3 timed chunks after one warmup chunk.
 """
@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def main(N=1024, n_steps=1000, use_pallas=False, no_slab=False,
+def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
          dct_highest=False):
     import pyrmt_tpu.runtime as rt
 
@@ -83,6 +83,6 @@ if __name__ == "__main__":
     dct_highest = "--dct-highest" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(args[0]) if len(args) > 0 else 1024
-    n_steps = int(args[1]) if len(args) > 1 else 1000
+    n_steps = int(args[1]) if len(args) > 1 else 2000
     main(N=N, n_steps=n_steps, use_pallas=use_pallas, no_slab=no_slab,
          dct_highest=dct_highest)
