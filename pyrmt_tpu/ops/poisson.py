@@ -255,6 +255,135 @@ def _idct1_2d_from_blocks(Bee, Boe, Beo, Boo, mats, precision=None):
     return out * jnp.asarray(scale, dt)
 
 
+# ── Recursive even/odd folding (2^k+1 grids) ────────────────────────────────
+#
+# The one-level fold above works for any N, but for ODD N it can recurse: the
+# even-row factor of the DCT-I matrix IS the DCT-I matrix of size (N+1)/2
+# (C_N[:M, 0::2] == C_M exactly, M=(N+1)/2), so while the half size stays odd
+# each level halves the dominant matmul again. For N-1 a power of two
+# (the preferred 2^k+1 grids, docs/PERFORMANCE.md "Grid-size guidance") the
+# 1D-pass FLOPs drop from ~N^2/2 (one fold) toward ~N^2/3. Spectral
+# coefficients stay in recursive fold order end-to-end — the eigenvalue
+# divide uses a host-side permutation instead of any interleave relayout.
+
+
+def _dct1_rec_plan(N, dtype, min_leaf):
+    """Nested factor matrices for the recursive DCT-I fold of an odd-N axis.
+
+    Node = {'O': odd-row factor (no, no), 'Io': odd-coefficient inverse
+    factor C_N[:M, 1::2] (M, no), 'even': plan for the size-M even chain,
+    'M': (N+1)//2, 'no': N - M}; leaf = {'C': dense DCT-I matrix}.
+    """
+    if N % 2 == 1 and N > min_leaf:
+        M = (N + 1) // 2
+        no = N - M
+        C = dct1_matrix(N, dtype)
+        return {
+            "O": C[1::2, :no],
+            "Io": C[:M, 1::2],
+            "even": _dct1_rec_plan(M, dtype, min_leaf),
+            "M": M,
+            "no": no,
+        }
+    return {"C": dct1_matrix(N, dtype)}
+
+
+def dct1_fold_perm(N, min_leaf):
+    """Natural spectral index at each recursive-fold-order position:
+    perm = concat(2 * perm(M), odd indices); leaves are natural-ordered."""
+    import numpy as np
+
+    if N % 2 == 1 and N > min_leaf:
+        M = (N + 1) // 2
+        return np.concatenate(
+            [2 * dct1_fold_perm(M, min_leaf), 2 * np.arange(N - M) + 1])
+    return np.arange(N)
+
+
+def precompute_dct_plan(Nx, Ny, dtype=jnp.float32, min_leaf=64):
+    """Recursive fold plan for ``solve_poisson_dct`` (dct_method='matmul_rec').
+
+    Requires odd Nx and Ny — for even sizes the fold cannot recurse and the
+    one-level ``precompute_dct_matrices`` path is strictly better. Depth per
+    axis is the 2-adic valuation of N-1 (capped by ``min_leaf``), so 2^k+1
+    grids fold all the way down.
+    """
+    if Nx % 2 == 0 or Ny % 2 == 0:
+        raise ValueError(
+            f"dct_method='matmul_rec' needs odd grid sizes (2^k+1 preferred); "
+            f"got ({Ny}, {Nx}) — use dct_method='matmul'")
+    return {
+        "plan_y": _dct1_rec_plan(Ny, dtype, min_leaf),
+        "plan_x": _dct1_rec_plan(Nx, dtype, min_leaf),
+        "perm_y": dct1_fold_perm(Ny, min_leaf),
+        "perm_x": dct1_fold_perm(Nx, min_leaf),
+        "Ny": Ny,
+        "Nx": Nx,
+    }
+
+
+def _dct1_rec_fwd_rows(x, plan, precision):
+    if "C" in plan:
+        return _mm(plan["C"].astype(x.dtype), x, precision)
+    M, no = plan["M"], plan["no"]
+    xr = x[::-1][:no]
+    # middle row doubled: C_N's even rows weight it 2, C_M's last column 1
+    ehat = jnp.concatenate([x[:no] + xr, 2.0 * x[no:M]], axis=0)
+    return jnp.concatenate([
+        _dct1_rec_fwd_rows(ehat, plan["even"], precision),
+        _mm(plan["O"].astype(x.dtype), x[:no] - xr, precision),
+    ], axis=0)
+
+
+def _dct1_rec_fwd_cols(x, plan, precision):
+    if "C" in plan:
+        return _mm(x, plan["C"].astype(x.dtype).T, precision)
+    M, no = plan["M"], plan["no"]
+    xr = x[:, ::-1][:, :no]
+    ehat = jnp.concatenate([x[:, :no] + xr, 2.0 * x[:, no:M]], axis=1)
+    return jnp.concatenate([
+        _dct1_rec_fwd_cols(ehat, plan["even"], precision),
+        _mm(x[:, :no] - xr, plan["O"].astype(x.dtype).T, precision),
+    ], axis=1)
+
+
+def _dct1_rec_inv_rows(y, plan, precision):
+    """Apply C_N to a spectral vector in recursive fold order (rows):
+    s = C_M @ y_even recurses; the odd block is one matmul; rows j >= M come
+    from the even/odd (anti)symmetry under j -> N-1-j."""
+    if "C" in plan:
+        return _mm(plan["C"].astype(y.dtype), y, precision)
+    M, no = plan["M"], plan["no"]
+    s = _dct1_rec_inv_rows(y[:M], plan["even"], precision)
+    a = _mm(plan["Io"].astype(y.dtype), y[M:], precision)
+    return jnp.concatenate([s + a, (s - a)[:no][::-1]], axis=0)
+
+
+def _dct1_rec_inv_cols(y, plan, precision):
+    if "C" in plan:
+        return _mm(y, plan["C"].astype(y.dtype).T, precision)
+    M, no = plan["M"], plan["no"]
+    s = _dct1_rec_inv_cols(y[:, :M], plan["even"], precision)
+    a = _mm(y[:, M:], plan["Io"].astype(y.dtype).T, precision)
+    return jnp.concatenate([s + a, (s - a)[:, :no][:, ::-1]], axis=1)
+
+
+def dct1_2d_rec(x, plan2d, precision=None):
+    """2D unnormalised DCT-I via the recursive fold; output is in recursive
+    fold order on both axes (natural index = perm_y/perm_x)."""
+    y = _dct1_rec_fwd_cols(x, plan2d["plan_x"], precision)
+    return _dct1_rec_fwd_rows(y, plan2d["plan_y"], precision)
+
+
+def idct1_2d_rec(y_fold, plan2d, precision=None):
+    """Inverse of ``dct1_2d_rec`` including the 1/(4(Ny-1)(Nx-1)) DCT-I
+    inverse normalisation; input in recursive fold order, output natural."""
+    z = _dct1_rec_inv_rows(y_fold, plan2d["plan_y"], precision)
+    z = _dct1_rec_inv_cols(z, plan2d["plan_x"], precision)
+    Ny, Nx = plan2d["Ny"], plan2d["Nx"]
+    return z * jnp.asarray(1.0 / (4.0 * (Ny - 1) * (Nx - 1)), z.dtype)
+
+
 def build_poisson_matrix(Nx, Ny, dx, dy):
     """Explicit sparse 5-point Neumann Laplacian with ghost mirroring
     p[-1]=p[1], p[N]=p[N-2] (parity: pyRMT/functions.py:870-924).
@@ -320,8 +449,25 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None, precision=None):
     slicing of the eigenvalues happens HOST-side at trace time whenever
     ``eigenvalues`` is a concrete (precomputed) array: in-graph f64 strided
     slices are pathologically slow on the TPU backend.
+
+    Passing a ``precompute_dct_plan`` dict instead selects the RECURSIVE
+    fold (odd N only; fewest MXU FLOPs on 2^k+1 grids).
     """
-    if dct_mats is not None:
+    if isinstance(dct_mats, dict):
+        # recursive fold plan (precompute_dct_plan): everything stays in
+        # recursive fold order; the eigenvalue divide uses the fold->natural
+        # permutation, sliced host-side when the eigenvalues are concrete.
+        yhat = dct1_2d_rec(rhs_2d, dct_mats, precision)
+        perm_y, perm_x = dct_mats["perm_y"], dct_mats["perm_x"]
+        if isinstance(eigenvalues, jax.core.Tracer):
+            eig = eigenvalues[perm_y][:, perm_x].astype(yhat.dtype)
+        else:
+            import numpy as np
+
+            e = np.asarray(eigenvalues)
+            eig = jnp.asarray(e[perm_y][:, perm_x], yhat.dtype)
+        p = idct1_2d_rec(yhat / eig, dct_mats, precision)
+    elif dct_mats is not None:
         Bs = _dct1_2d_blocks(rhs_2d, dct_mats, precision)
         dt = Bs[0].dtype
         if isinstance(eigenvalues, jax.core.Tracer):

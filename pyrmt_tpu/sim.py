@@ -98,7 +98,8 @@ class RMTConfig:
                                     # sl_local (advective CFL < 1).
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
-    dct_method: str = "auto"        # 'fft' | 'matmul' | 'auto' (matmul on TPU)
+    dct_method: str = "auto"        # 'fft' | 'matmul' | 'matmul_rec' (odd N,
+    # recursive fold — fewest MXU FLOPs on 2^k+1 grids) | 'auto' (matmul on TPU)
     dct_precision: str = "auto"     # MXU matmul precision of the DCT solves
                                     # ('auto' | 'highest' | 'high'). 'high'
                                     # (3-pass bf16) halves the DCT's MXU
@@ -166,6 +167,10 @@ def _resolve_dct_mats(method: str, Nx: int, Ny: int, dtype):
         from pyrmt_tpu.ops.poisson import precompute_dct_matrices
 
         return precompute_dct_matrices(Nx, Ny, dtype=dtype)
+    if method == "matmul_rec":
+        from pyrmt_tpu.ops.poisson import precompute_dct_plan
+
+        return precompute_dct_plan(Nx, Ny, dtype=dtype)
     if method != "fft":
         raise ValueError(f"unknown dct_method {method!r}")
     return None

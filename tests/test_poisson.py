@@ -239,3 +239,70 @@ def test_sim_step_dct_method_matmul_matches_fft():
         s_mm, _ = step_mm(s_mm, t_end)
     assert np.allclose(np.asarray(s_mm.u), np.asarray(s_fft.u), atol=1e-11)
     assert np.allclose(np.asarray(s_mm.p), np.asarray(s_fft.p), atol=1e-10)
+
+
+def test_dct_recursive_fold_matches_fft_path():
+    """The recursive even/odd fold (dct_method='matmul_rec', 2^k+1 grids) is
+    the SAME transform in recursive fold order: un-permuted forward matches
+    dct1_2d, the roundtrip is exact, and the Neumann solve matches the FFT
+    path to roundoff — including non-square grids and deep recursion."""
+    from pyrmt_tpu.ops.poisson import (
+        dct1_2d_rec,
+        idct1_2d_rec,
+        precompute_dct_plan,
+    )
+
+    rng = np.random.default_rng(11)
+    Ny, Nx = 33, 65  # 2^5+1, 2^6+1
+    x = rng.standard_normal((Ny, Nx))
+    plan = precompute_dct_plan(Nx, Ny, dtype=np.float64, min_leaf=8)
+    y_fold = np.asarray(dct1_2d_rec(x, plan))
+    y_nat = np.empty_like(y_fold)
+    y_nat[np.ix_(plan["perm_y"], plan["perm_x"])] = y_fold
+    assert np.allclose(y_nat, np.asarray(dct1_2d(x)), atol=1e-9)
+    assert np.allclose(np.asarray(idct1_2d_rec(dct1_2d_rec(x, plan), plan)),
+                       x, atol=1e-12)
+
+    dx = 1.0 / (Nx - 1)
+    dy = 1.0 / (Ny - 1)
+    eig = precompute_poisson_eigenvalues(Nx, Ny, dx, dy)
+    rhs = rng.standard_normal((Ny, Nx))
+    p_fft = np.asarray(solve_poisson_dct(rhs, eig))
+    p_rec = np.asarray(solve_poisson_dct(rhs, eig, dct_mats=plan))
+    assert np.allclose(p_rec, p_fft, atol=1e-9)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        precompute_dct_plan(64, 65)  # even sizes cannot recurse
+
+
+def test_sim_step_dct_method_matmul_rec_matches_fft():
+    """One full FSI step with dct_method='matmul_rec' equals 'fft' to
+    roundoff (N=65 exercises one fold level at the default min_leaf)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    g = Grid(Nx=65, Ny=65, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    num_layers=3, CFL=0.2, dt_min_cap=1e-3, dct_method="fft")
+    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.25,)
+    bc = make_lid_bc(1.0)
+    state = make_init_state(cfg, phi_inits, dtype=jnp.float64)
+    t_end = jnp.asarray(1.0, jnp.float64)
+
+    s_fft = state
+    step_fft = make_step(cfg, bc, phi_inits, dtype=jnp.float64)
+    step_rec = make_step(dataclasses.replace(cfg, dct_method="matmul_rec"),
+                         bc, phi_inits, dtype=jnp.float64)
+    s_rec = state
+    for _ in range(3):
+        s_fft, _ = step_fft(s_fft, t_end)
+        s_rec, _ = step_rec(s_rec, t_end)
+    assert np.allclose(np.asarray(s_rec.u), np.asarray(s_fft.u), atol=1e-11)
+    assert np.allclose(np.asarray(s_rec.p), np.asarray(s_fft.p), atol=1e-10)
