@@ -67,10 +67,26 @@ def backtrace_rk4(a, b, X, Y, dt, dx, dy):
     return X_back, Y_back
 
 
-def advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy):
-    """Advect a stack of fields (K, Ny, Nx) with ONE shared RK4 backtrace."""
+def advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy,
+                                    interp="bilinear"):
+    """Advect a stack of fields (K, Ny, Nx) with ONE shared RK4 backtrace.
+
+    ``interp`` selects the FINAL gather of the advected fields: 'bilinear'
+    (the reference's active choice) or 'bicubic' (Catmull-Rom with overshoot
+    clamp — present but inactive in the reference, pyRMT/functions.py:200).
+    The RK4 stage velocity samples stay bilinear in both cases.
+    """
     X_back, Y_back = backtrace_rk4(a, b, X, Y, dt, dx, dy)
-    return gather_bilinear_multi(qs, X_back, Y_back, dx, dy)
+    if interp == "bilinear":
+        return gather_bilinear_multi(qs, X_back, Y_back, dx, dy)
+    if interp == "bicubic":
+        from pyrmt_tpu.ops.interp import gather_bicubic_multi
+
+        return gather_bicubic_multi(qs, X_back, Y_back, dx, dy)
+    raise ValueError(
+        "Unknown semi-Lagrangian interpolant %r (expected 'bilinear' or "
+        "'bicubic')" % (interp,)
+    )
 
 
 def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy):
@@ -234,12 +250,16 @@ def advect_central2_rk3(q, a, b, dx, dy, dt, phi, w_cut=0.0):
 
 
 def advect_reference_map_multi(
-    qs, a, b, X, Y, dt, dx, dy, phi, scheme="semilagrangian", w_cut=0.0
+    qs, a, b, X, Y, dt, dx, dy, phi, scheme="semilagrangian", w_cut=0.0,
+    sl_interp="bilinear",
 ):
     """Advect a STACK of reference-map components with a selectable scheme
-    (parity: pyRMT/functions.py:438-477, scheme is static/trace-time)."""
+    (parity: pyRMT/functions.py:438-477, scheme is static/trace-time).
+    ``sl_interp`` selects the semi-Lagrangian final gather
+    ('bilinear' | 'bicubic'); other schemes ignore it."""
     if scheme == "semilagrangian":
-        return advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy)
+        return advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy,
+                                               interp=sl_interp)
     elif scheme == "central2":
         return jnp.stack(
             [advect_central2_rk3(q, a, b, dx, dy, dt, phi, w_cut) for q in qs]

@@ -181,6 +181,40 @@ def cubic_convolution(v0, v1, v2, v3, t):
     return ((a0 * t + a1) * t + a2) * t + v1
 
 
+def gather_bicubic_multi(us, xq, yq, dx, dy):
+    """Bicubic (Catmull-Rom) interpolation of a STACK of fields ``us``
+    (K, Ny, Nx) at the same query points: indices and the per-axis cubic
+    weights are computed once and shared across fields, with the reference's
+    per-field overshoot clamp to the 4x4 stencil min/max
+    (pyRMT/interpolators.py:136-139).
+    """
+    K, Ny, Nx = us.shape
+    x, y, finite = _prepare_queries(xq, yq, dx, dy, Nx, Ny)
+
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = (x - ix).astype(us.dtype)
+    fy = (y - iy).astype(us.dtype)
+
+    rows = []
+    local_min = jnp.full(us.shape, jnp.inf, us.dtype)
+    local_max = jnp.full(us.shape, -jnp.inf, us.dtype)
+    for m in range(4):
+        yg = jnp.clip(iy - 1 + m, 0, Ny - 1)
+        cols = []
+        for n in range(4):
+            xg = jnp.clip(ix - 1 + n, 0, Nx - 1)
+            v = us[:, yg, xg]
+            cols.append(v)
+            local_min = jnp.minimum(local_min, v)
+            local_max = jnp.maximum(local_max, v)
+        rows.append(cubic_convolution(cols[0], cols[1], cols[2], cols[3], fx))
+
+    out = cubic_convolution(rows[0], rows[1], rows[2], rows[3], fy)
+    out = jnp.clip(out, local_min, local_max)
+    return jnp.where(finite, out, jnp.nan)
+
+
 def bicubic_interpolate(u, xq, yq, dx, dy, Nx=None, Ny=None):
     """Bicubic (Catmull-Rom) interpolation with clamped 4x4 stencil and
     overshoot suppression: the result is clamped to the stencil min/max

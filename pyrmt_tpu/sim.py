@@ -97,6 +97,10 @@ class RMTConfig:
                                     # sub-cell-displacement guard for
                                     # sl_local (advective CFL < 1).
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
+    sl_interp: str = "bilinear"     # final SL gather: 'bilinear' | 'bicubic'
+                                    # (Catmull-Rom, the reference's inactive
+                                    # variant pyRMT/functions.py:200; forces
+                                    # the gather path — no fused RMT block)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'matmul_rec' (odd N,
     # recursive fold — fewest MXU FLOPs on 2^k+1 grids) | 'auto' (matmul on TPU)
@@ -215,6 +219,7 @@ def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
         S >= 1
         and cfg.scheme == "semilagrangian"
         and cfg.sl_local
+        and cfg.sl_interp == "bilinear"
         and cfg.CFL < 1.0
         and cfg.reinit_method == "none"
     )
@@ -496,7 +501,8 @@ def make_step(
                 from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
 
                 qs = jnp.concatenate([X1s, X2s], axis=0)
-                if cfg.sl_local and cfg.CFL < 1.0:
+                if (cfg.sl_local and cfg.CFL < 1.0
+                        and cfg.sl_interp == "bilinear"):
                     # gather-free fast path: CFL bounds the backtrace to <1
                     # cell, so bilinear sampling is shifts+selects (VPU)
                     qs_new = advect_semilagrangian_rk4_local(
@@ -504,7 +510,8 @@ def make_step(
                     )
                 else:
                     qs_new = advect_reference_map_multi(
-                        qs, u, v, X, Y, dt, dx, dy, None, cfg.scheme, cfg.w_cut
+                        qs, u, v, X, Y, dt, dx, dy, None, cfg.scheme,
+                        cfg.w_cut, sl_interp=cfg.sl_interp,
                     )
                 X1s_a, X2s_a = qs_new[:S], qs_new[S:]
             else:

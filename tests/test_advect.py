@@ -178,3 +178,110 @@ def test_local_bilinear_matches_gather_bilinear():
     loc = np.asarray(gather_bilinear_local(
         jnp.asarray(u)[None], jnp.asarray(sx), jnp.asarray(sy)))[0]
     assert np.allclose(loc, ref, atol=1e-12)
+
+
+def test_bicubic_gather_multi_matches_single_and_is_linear_exact():
+    """gather_bicubic_multi == per-field bicubic_interpolate, and both are
+    exact on linear fields (interior queries)."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.interp import bicubic_interpolate, gather_bicubic_multi
+
+    N = 33
+    X, Y, dx, dy = _setup(N)
+    rng = np.random.default_rng(3)
+    u0 = rng.standard_normal((N, N))
+    u1 = 1.5 * X - 0.25 * Y + 0.7
+    xq = np.clip(X + rng.uniform(-1.4, 1.4, (N, N)) * dx, 0.0, 1.0)
+    yq = np.clip(Y + rng.uniform(-1.4, 1.4, (N, N)) * dy, 0.0, 1.0)
+    us = jnp.stack([jnp.asarray(u0), jnp.asarray(u1)])
+    out = np.asarray(gather_bicubic_multi(us, jnp.asarray(xq),
+                                          jnp.asarray(yq), dx, dy))
+    for k, u in enumerate((u0, u1)):
+        single = np.asarray(bicubic_interpolate(
+            jnp.asarray(u), jnp.asarray(xq), jnp.asarray(yq), dx, dy))
+        assert np.allclose(out[k], single, atol=1e-13)
+    # Linear exactness holds only where the full (unclamped) 4x4 stencil is
+    # interior — index clamping at the edges duplicates stencil rows, exactly
+    # as the reference's clamped global indices do.
+    inner = (slice(3, -3), slice(3, -3))
+    exact = 1.5 * xq - 0.25 * yq + 0.7
+    assert np.allclose(out[1][inner], exact[inner], atol=1e-12)
+
+
+def test_semilagrangian_bicubic_beats_bilinear_on_smooth_field():
+    """The 'bicubic' final gather (the reference's inactive variant,
+    pyRMT/functions.py:200) is more accurate than bilinear on a smooth
+    profile and exact on linear fields."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_multi
+
+    N = 65
+    X, Y, dx, dy = _setup(N)
+    q = np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+    a = np.full_like(q, 0.37)
+    b = np.full_like(q, -0.21)
+    dt = 0.4 * dx
+    args = (jnp.asarray(a), jnp.asarray(b), jnp.asarray(X), jnp.asarray(Y),
+            dt, dx, dy)
+    exact = np.sin(2 * np.pi * (X - a * dt)) * np.cos(2 * np.pi * (Y - b * dt))
+    qs = jnp.asarray(q)[None]
+    inner = (slice(3, -3), slice(3, -3))
+    e_bil = np.max(np.abs(np.asarray(
+        advect_semilagrangian_rk4_multi(qs, *args))[0] - exact)[inner])
+    e_bic = np.max(np.abs(np.asarray(
+        advect_semilagrangian_rk4_multi(qs, *args, interp="bicubic"))[0]
+        - exact)[inner])
+    assert e_bic < 0.25 * e_bil
+
+    lin = (2.0 * jnp.asarray(X) - 0.3 * jnp.asarray(Y))[None]
+    exact_lin = 2.0 * (X - a * dt) - 0.3 * (Y - b * dt)
+    out_lin = np.asarray(advect_semilagrangian_rk4_multi(
+        lin, *args, interp="bicubic"))[0]
+    assert np.allclose(out_lin[inner], exact_lin[inner], atol=1e-11)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        advect_semilagrangian_rk4_multi(qs, *args, interp="bogus")
+
+
+def test_sim_step_sl_interp_bicubic_runs_and_differs():
+    """A full FSI step with cfg.sl_interp='bicubic' compiles (forced onto the
+    gather path, rmt_block_fusible False), stays finite, and actually changes
+    the advected maps relative to bilinear."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import (
+        RMTConfig, make_init_state, make_step, rmt_block_fusible,
+    )
+    import dataclasses
+
+    g = Grid(Nx=48, Ny=48, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    num_layers=3, CFL=0.2, dt_min_cap=1e-3)
+    cfg_bic = dataclasses.replace(cfg, sl_interp="bicubic")
+    assert rmt_block_fusible(cfg, 1) and not rmt_block_fusible(cfg_bic, 1)
+    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.25,)
+    bc = make_lid_bc(1.0)
+    # seed a Taylor-Green velocity so the solid actually advects within a few
+    # steps (a from-rest lid flow doesn't reach the disc, and the two
+    # interpolants would agree to roundoff)
+    X, Y, _, _ = _setup(48)
+    u0 = np.sin(np.pi * X) * np.cos(np.pi * Y)
+    v0 = -np.cos(np.pi * X) * np.sin(np.pi * Y)
+    state = make_init_state(cfg, phi_inits, u0=u0, v0=v0, dtype=jnp.float64)
+    t_end = jnp.asarray(1.0, jnp.float64)
+    s_bil, s_bic = state, state
+    step_bil = make_step(cfg, bc, phi_inits, dtype=jnp.float64)
+    step_bic = make_step(cfg_bic, bc, phi_inits, dtype=jnp.float64)
+    for _ in range(3):
+        s_bil, _ = step_bil(s_bil, t_end)
+        s_bic, _ = step_bic(s_bic, t_end)
+    assert np.all(np.isfinite(np.asarray(s_bic.u)))
+    assert np.all(np.isfinite(np.asarray(s_bic.X1)))
+    # the interpolants genuinely diverge (measured ~1.7e-6 after 3 steps)
+    assert np.max(np.abs(np.asarray(s_bic.X1) - np.asarray(s_bil.X1))) > 1e-8
