@@ -32,6 +32,7 @@ from pyrmt_tpu.ops.interp import (
     bicubic_interpolate,
     bilinear_interpolate,
     cubic_convolution,
+    gather_bicubic_local,
     gather_bicubic_multi,
     gather_bilinear_multi,
 )

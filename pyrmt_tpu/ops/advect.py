@@ -89,16 +89,18 @@ def advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy,
     )
 
 
-def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy):
+def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy, interp="bilinear"):
     """Gather-free semi-Lagrangian RK4 (TPU fast path).
 
     Valid whenever the CFL bound guarantees |displacement| < one cell — which
     ``compute_timestep`` enforces (dt <= CFL dx / max|u| with CFL < 1); every
     intermediate velocity sample is a convex combination of grid values, so
-    the bound holds at all four RK4 stages. Uses local shift+select bilinear
-    sampling (pyrmt_tpu.ops.interp.gather_bilinear_local) — pure VPU work.
+    the bound holds at all four RK4 stages. Uses local shift+select sampling
+    (pyrmt_tpu.ops.interp.gather_bilinear_local / gather_bicubic_local) —
+    pure VPU work. ``interp`` selects the FINAL field sample ('bilinear' |
+    'bicubic'); stage velocity samples stay bilinear either way.
     """
-    from pyrmt_tpu.ops.interp import gather_bilinear_local
+    from pyrmt_tpu.ops.interp import gather_bicubic_local, gather_bilinear_local
 
     ab = jnp.stack([a, b])
     inv_dx = 1.0 / dx
@@ -114,7 +116,14 @@ def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy):
 
     sx = -(dt / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x) * inv_dx
     sy = -(dt / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y) * inv_dy
-    return gather_bilinear_local(qs, sx, sy)
+    if interp == "bilinear":
+        return gather_bilinear_local(qs, sx, sy)
+    if interp == "bicubic":
+        return gather_bicubic_local(qs, sx, sy)
+    raise ValueError(
+        "Unknown semi-Lagrangian interpolant %r (expected 'bilinear' or "
+        "'bicubic')" % (interp,)
+    )
 
 
 def advect_semilagrangian_rk4(q, a, b, X, Y, dt, dx, dy):

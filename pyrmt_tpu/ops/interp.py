@@ -157,6 +157,76 @@ def gather_bilinear_local(us, sx, sy):
     return jnp.where(finite[None], out, jnp.nan)
 
 
+def gather_bicubic_local(us, sx, sy):
+    """Bicubic (Catmull-Rom) sampling of a stack ``us`` (K, Ny, Nx) at
+    per-cell DISPLACED points (i + sx, j + sy), |sx|, |sy| < 1 — gather-free.
+
+    TPU-first fast path: under the CFL < 1 backtrace bound the 4x4 stencil
+    around the departure point lies within static ±2 shifts of the field, so
+    the interpolation becomes shifts + selects + cubic arithmetic on the VPU.
+    Semantics (index clamping at edges, overshoot clamp to the stencil
+    min/max, NaN on non-finite displacements) match ``gather_bicubic_multi``
+    exactly: the edge-replicating pads of ``_shift_{x,y}_pad`` reproduce the
+    gather path's per-index clipping for any overflow ≤ 2.
+    """
+    K, Ny, Nx = us.shape
+    jj = jnp.arange(Ny, dtype=sx.dtype)[:, None]
+    ii = jnp.arange(Nx, dtype=sx.dtype)[None, :]
+
+    finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+    sx = jnp.where(finite, sx, 0.0)
+    sy = jnp.where(finite, sy, 0.0)
+    eps = 1e-6
+    sx = jnp.clip(sx, -1.0 + eps, 1.0 - eps)
+    sy = jnp.clip(sy, -1.0 + eps, 1.0 - eps)
+    x = jnp.clip(ii + sx, 0.0, Nx - 1.0)
+    y = jnp.clip(jj + sy, 0.0, Ny - 1.0)
+    sx = x - ii
+    sy = y - jj
+
+    # floor(i + s): the stencil base is i-1 for s < 0, else i
+    neg_x = sx < 0.0
+    neg_y = sy < 0.0
+    fx = (jnp.where(neg_x, sx + 1.0, sx)).astype(us.dtype)
+    fy = (jnp.where(neg_y, sy + 1.0, sy)).astype(us.dtype)
+
+    vals = []
+    for k in range(K):
+        f = us[k]
+        # All 25 static (ky, kx) shifts first, per-cell 4-way select LAST:
+        # shifting an already-selected array would drag the NEIGHBOUR's
+        # neg_x/neg_y choice into this cell (the masks are per target cell).
+        sh = {}
+
+        def shifted(ky, kx):
+            if (ky, kx) not in sh:
+                sh[(ky, kx)] = _shift_x_pad(_shift_y_pad(f, ky), kx)
+            return sh[(ky, kx)]
+
+        local_min = None
+        local_max = None
+        rows = []
+        for m in range(4):
+            cols = []
+            for n in range(4):
+                v = jnp.where(
+                    neg_y,
+                    jnp.where(neg_x, shifted(m - 2, n - 2),
+                              shifted(m - 2, n - 1)),
+                    jnp.where(neg_x, shifted(m - 1, n - 2),
+                              shifted(m - 1, n - 1)),
+                )
+                cols.append(v)
+                local_min = v if local_min is None else jnp.minimum(local_min, v)
+                local_max = v if local_max is None else jnp.maximum(local_max, v)
+            rows.append(cubic_convolution(cols[0], cols[1], cols[2], cols[3], fx))
+        out = cubic_convolution(rows[0], rows[1], rows[2], rows[3], fy)
+        vals.append(jnp.clip(out, local_min, local_max))
+
+    out = jnp.stack(vals)
+    return jnp.where(finite[None], out, jnp.nan)
+
+
 def _shift_x_pad(f, k):
     if k > 0:
         return jnp.concatenate([f[:, k:], jnp.repeat(f[:, -1:], k, axis=1)], axis=1)

@@ -99,8 +99,10 @@ class RMTConfig:
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     sl_interp: str = "bilinear"     # final SL gather: 'bilinear' | 'bicubic'
                                     # (Catmull-Rom, the reference's inactive
-                                    # variant pyRMT/functions.py:200; forces
-                                    # the gather path — no fused RMT block)
+                                    # variant pyRMT/functions.py:200; has a
+                                    # gather-free local path too, but no
+                                    # fused RMT block — the kernel is
+                                    # bilinear-only)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'matmul_rec' (odd N,
     # recursive fold — fewest MXU FLOPs on 2^k+1 grids) | 'auto' (matmul on TPU)
@@ -501,12 +503,12 @@ def make_step(
                 from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
 
                 qs = jnp.concatenate([X1s, X2s], axis=0)
-                if (cfg.sl_local and cfg.CFL < 1.0
-                        and cfg.sl_interp == "bilinear"):
+                if cfg.sl_local and cfg.CFL < 1.0:
                     # gather-free fast path: CFL bounds the backtrace to <1
-                    # cell, so bilinear sampling is shifts+selects (VPU)
+                    # cell, so the sampling (bilinear or bicubic final
+                    # gather) is shifts+selects (VPU)
                     qs_new = advect_semilagrangian_rk4_local(
-                        qs, u, v, dt, dx, dy
+                        qs, u, v, dt, dx, dy, interp=cfg.sl_interp
                     )
                 else:
                     qs_new = advect_reference_map_multi(

@@ -285,3 +285,54 @@ def test_sim_step_sl_interp_bicubic_runs_and_differs():
     assert np.all(np.isfinite(np.asarray(s_bic.X1)))
     # the interpolants genuinely diverge (measured ~1.7e-6 after 3 steps)
     assert np.max(np.abs(np.asarray(s_bic.X1) - np.asarray(s_bil.X1))) > 1e-8
+
+
+def test_local_bicubic_matches_gather_bicubic():
+    """gather_bicubic_local == gather_bicubic_multi for sub-cell
+    displacements, including at the domain boundary (where both clamp the
+    4x4 stencil by edge replication)."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.interp import gather_bicubic_local, gather_bicubic_multi
+
+    N = 33
+    X, Y, dx, dy = _setup(N)
+    rng = np.random.default_rng(5)
+    u = rng.standard_normal((N, N))
+    w = np.sin(3 * X) * np.cos(2 * Y)
+    sx = rng.uniform(-0.95, 0.95, (N, N))
+    sy = rng.uniform(-0.95, 0.95, (N, N))
+    xq = X + sx * dx
+    yq = Y + sy * dy
+    us = jnp.stack([jnp.asarray(u), jnp.asarray(w)])
+    ref = np.asarray(gather_bicubic_multi(
+        us, jnp.asarray(xq), jnp.asarray(yq), dx, dy))
+    loc = np.asarray(gather_bicubic_local(
+        us, jnp.asarray(sx), jnp.asarray(sy)))
+    assert np.allclose(loc, ref, atol=1e-12, rtol=0.0)
+
+
+def test_local_semilagrangian_bicubic_matches_gather_path():
+    """The local (shift+select) bicubic SL path == the gather bicubic path
+    for sub-cell displacements."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.advect import (
+        advect_semilagrangian_rk4_local,
+        advect_semilagrangian_rk4_multi,
+    )
+
+    N = 65
+    X, Y, dx, dy = _setup(N)
+    q1 = np.sin(2 * np.pi * X) * Y
+    q2 = np.cos(np.pi * Y) * X**2
+    a = 0.3 * np.sin(2 * np.pi * Y) + 0.1
+    b = -0.25 * np.cos(np.pi * X)
+    dt = 0.5 * dx
+    qs = jnp.stack([jnp.asarray(q1), jnp.asarray(q2)])
+    ref = np.asarray(advect_semilagrangian_rk4_multi(
+        qs, jnp.asarray(a), jnp.asarray(b), jnp.asarray(X), jnp.asarray(Y),
+        dt, dx, dy, interp="bicubic"))
+    loc = np.asarray(advect_semilagrangian_rk4_local(
+        qs, jnp.asarray(a), jnp.asarray(b), dt, dx, dy, interp="bicubic"))
+    assert np.allclose(loc, ref, atol=1e-12, rtol=0.0)
