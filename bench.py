@@ -24,7 +24,7 @@ import time
 
 
 def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
-         dct_highest=False):
+         dct_highest=False, sl_bicubic=False):
     import pyrmt_tpu.runtime as rt
 
     rt.setup()
@@ -45,6 +45,10 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
         cfg = dataclasses.replace(cfg, kernel_slab_halo=False)
     if dct_highest:
         cfg = dataclasses.replace(cfg, dct_precision="highest")
+    if sl_bicubic:
+        # Catmull-Rom final gather (local shift+select path); the fused RMT
+        # block is bilinear-only, so this also measures the XLA RMT path
+        cfg = dataclasses.replace(cfg, sl_interp="bicubic")
     step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
     state = make_init_state(cfg, phi_inits, dtype=jnp.float32)
     t_end = jnp.asarray(1e9, jnp.float32)
@@ -81,8 +85,9 @@ if __name__ == "__main__":
     use_pallas = "--pallas" in sys.argv
     no_slab = "--no-slab" in sys.argv
     dct_highest = "--dct-highest" in sys.argv
+    sl_bicubic = "--bicubic" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(args[0]) if len(args) > 0 else 1024
     n_steps = int(args[1]) if len(args) > 1 else 2000
     main(N=N, n_steps=n_steps, use_pallas=use_pallas, no_slab=no_slab,
-         dct_highest=dct_highest)
+         dct_highest=dct_highest, sl_bicubic=sl_bicubic)
