@@ -176,3 +176,40 @@ def test_sharded_pallas_unfusible_config_raises():
         make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
                           dtype=jnp.float64, rmt_method="pallas",
                           interpret=True)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_bicubic_step_matches_single_device():
+    """sl_interp='bicubic' (local shift+select Catmull-Rom) under GSPMD: the
+    edge-replicating pad stencils must partition cleanly — sharded step ==
+    single-device on the 8-device mesh."""
+    import dataclasses
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, mu_f=0.01, rho_f=1.0,
+                    rho_s=1.0, CFL=0.2, dt_min_cap=1e-3, sl_interp="bicubic")
+    phi_init = _disc_phi(0.5, 0.5, 0.2)
+
+    step1 = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    ref = state
+    for _ in range(2):
+        ref, _ = step1(ref, jnp.asarray(1.0))
+
+    mesh = make_mesh(jax.devices()[:8])
+    stepN, shard = make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
+                                     dtype=jnp.float64)
+    out = shard(state)
+    for _ in range(2):
+        out, _ = stepN(out, jnp.asarray(1.0))
+
+    assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-8)
+    assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-8)
+
+    # an explicit fused-kernel request must fail loudly for a bicubic config
+    # (the RMT-block kernel is bilinear-only), not silently downgrade
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
+                          dtype=jnp.float64, rmt_method="pallas")
