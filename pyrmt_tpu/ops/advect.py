@@ -68,13 +68,14 @@ def backtrace_rk4(a, b, X, Y, dt, dx, dy):
 
 
 def advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy,
-                                    interp="bilinear"):
+                                    interp="bilinear", cubic_mask=None):
     """Advect a stack of fields (K, Ny, Nx) with ONE shared RK4 backtrace.
 
     ``interp`` selects the FINAL gather of the advected fields: 'bilinear'
     (the reference's active choice) or 'bicubic' (Catmull-Rom with overshoot
     clamp — present but inactive in the reference, pyRMT/functions.py:200).
     The RK4 stage velocity samples stay bilinear in both cases.
+    ``cubic_mask`` is the bicubic band guard (see gather_bicubic_local).
     """
     X_back, Y_back = backtrace_rk4(a, b, X, Y, dt, dx, dy)
     if interp == "bilinear":
@@ -82,14 +83,16 @@ def advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy,
     if interp == "bicubic":
         from pyrmt_tpu.ops.interp import gather_bicubic_multi
 
-        return gather_bicubic_multi(qs, X_back, Y_back, dx, dy)
+        return gather_bicubic_multi(qs, X_back, Y_back, dx, dy,
+                                    cubic_mask=cubic_mask)
     raise ValueError(
         "Unknown semi-Lagrangian interpolant %r (expected 'bilinear' or "
         "'bicubic')" % (interp,)
     )
 
 
-def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy, interp="bilinear"):
+def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy, interp="bilinear",
+                                    cubic_mask=None):
     """Gather-free semi-Lagrangian RK4 (TPU fast path).
 
     Valid whenever the CFL bound guarantees |displacement| < one cell — which
@@ -119,7 +122,7 @@ def advect_semilagrangian_rk4_local(qs, a, b, dt, dx, dy, interp="bilinear"):
     if interp == "bilinear":
         return gather_bilinear_local(qs, sx, sy)
     if interp == "bicubic":
-        return gather_bicubic_local(qs, sx, sy)
+        return gather_bicubic_local(qs, sx, sy, cubic_mask=cubic_mask)
     raise ValueError(
         "Unknown semi-Lagrangian interpolant %r (expected 'bilinear' or "
         "'bicubic')" % (interp,)
@@ -260,15 +263,17 @@ def advect_central2_rk3(q, a, b, dx, dy, dt, phi, w_cut=0.0):
 
 def advect_reference_map_multi(
     qs, a, b, X, Y, dt, dx, dy, phi, scheme="semilagrangian", w_cut=0.0,
-    sl_interp="bilinear",
+    sl_interp="bilinear", sl_cubic_mask=None,
 ):
     """Advect a STACK of reference-map components with a selectable scheme
     (parity: pyRMT/functions.py:438-477, scheme is static/trace-time).
     ``sl_interp`` selects the semi-Lagrangian final gather
-    ('bilinear' | 'bicubic'); other schemes ignore it."""
+    ('bilinear' | 'bicubic'); other schemes ignore it. ``sl_cubic_mask`` is
+    the bicubic band guard (see gather_bicubic_local)."""
     if scheme == "semilagrangian":
         return advect_semilagrangian_rk4_multi(qs, a, b, X, Y, dt, dx, dy,
-                                               interp=sl_interp)
+                                               interp=sl_interp,
+                                               cubic_mask=sl_cubic_mask)
     elif scheme == "central2":
         return jnp.stack(
             [advect_central2_rk3(q, a, b, dx, dy, dt, phi, w_cut) for q in qs]

@@ -157,7 +157,7 @@ def gather_bilinear_local(us, sx, sy):
     return jnp.where(finite[None], out, jnp.nan)
 
 
-def gather_bicubic_local(us, sx, sy):
+def gather_bicubic_local(us, sx, sy, cubic_mask=None):
     """Bicubic (Catmull-Rom) sampling of a stack ``us`` (K, Ny, Nx) at
     per-cell DISPLACED points (i + sx, j + sy), |sx|, |sy| < 1 — gather-free.
 
@@ -168,6 +168,11 @@ def gather_bicubic_local(us, sx, sy):
     min/max, NaN on non-finite displacements) match ``gather_bicubic_multi``
     exactly: the edge-replicating pads of ``_shift_{x,y}_pad`` reproduce the
     gather path's per-index clipping for any overflow ≤ 2.
+
+    ``cubic_mask`` (optional bool, broadcastable to (K, Ny, Nx)): cells where
+    it is False take the BILINEAR sample instead — the band guard for
+    reference-map advection, where bicubic's wide stencil must not read
+    extrapolated data (see sim.RMTConfig.sl_band_guard).
     """
     K, Ny, Nx = us.shape
     jj = jnp.arange(Ny, dtype=sx.dtype)[:, None]
@@ -224,6 +229,8 @@ def gather_bicubic_local(us, sx, sy):
         vals.append(jnp.clip(out, local_min, local_max))
 
     out = jnp.stack(vals)
+    if cubic_mask is not None:
+        out = jnp.where(cubic_mask, out, gather_bilinear_local(us, sx, sy))
     return jnp.where(finite[None], out, jnp.nan)
 
 
@@ -251,12 +258,15 @@ def cubic_convolution(v0, v1, v2, v3, t):
     return ((a0 * t + a1) * t + a2) * t + v1
 
 
-def gather_bicubic_multi(us, xq, yq, dx, dy):
+def gather_bicubic_multi(us, xq, yq, dx, dy, cubic_mask=None):
     """Bicubic (Catmull-Rom) interpolation of a STACK of fields ``us``
     (K, Ny, Nx) at the same query points: indices and the per-axis cubic
     weights are computed once and shared across fields, with the reference's
     per-field overshoot clamp to the 4x4 stencil min/max
     (pyRMT/interpolators.py:136-139).
+
+    ``cubic_mask`` (optional bool, broadcastable to the output): False cells
+    take the BILINEAR sample instead (band guard — see gather_bicubic_local).
     """
     K, Ny, Nx = us.shape
     x, y, finite = _prepare_queries(xq, yq, dx, dy, Nx, Ny)
@@ -282,6 +292,8 @@ def gather_bicubic_multi(us, xq, yq, dx, dy):
 
     out = cubic_convolution(rows[0], rows[1], rows[2], rows[3], fy)
     out = jnp.clip(out, local_min, local_max)
+    if cubic_mask is not None:
+        out = jnp.where(cubic_mask, out, gather_bilinear_multi(us, xq, yq, dx, dy))
     return jnp.where(finite, out, jnp.nan)
 
 

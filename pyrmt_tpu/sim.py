@@ -103,6 +103,18 @@ class RMTConfig:
                                     # gather-free local path too, but no
                                     # fused RMT block — the kernel is
                                     # bilinear-only)
+    sl_band_guard: float = 3.0      # bicubic band guard, in cells: reference-
+                                    # map cells with phi > -guard*dx fall back
+                                    # to the bilinear sample, so bicubic's 4x4
+                                    # stencil (reach ±2 cells ≈ 2.83 dx
+                                    # diagonally) never reads EXTRAPOLATED
+                                    # band data. Without it, a thin squeezed
+                                    # solid (soft-disc vs the lid, t≈5) puts
+                                    # colliding extrapolations from opposite
+                                    # interface lobes inside one stencil and
+                                    # the advected map folds (J < 0) —
+                                    # measured, benchmarks/README.md. <= 0
+                                    # disables (raw bicubic everywhere)
     use_pallas_rhs: bool = False    # fused Pallas momentum RHS (even N only)
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'matmul_rec' (odd N,
     # recursive fold — fewest MXU FLOPs on 2^k+1 grids) | 'auto' (matmul on TPU)
@@ -503,17 +515,27 @@ def make_step(
                 from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
 
                 qs = jnp.concatenate([X1s, X2s], axis=0)
+                if cfg.sl_interp == "bicubic" and cfg.sl_band_guard > 0.0:
+                    # band guard: bicubic only where the whole 4x4 stencil
+                    # sits on REAL solid data (phi <= 0); the extrapolated
+                    # band keeps the bilinear sample (sl_band_guard docs)
+                    m = phis < (-cfg.sl_band_guard * max(dx, dy))
+                    cubic_mask = jnp.concatenate([m, m], axis=0)
+                else:
+                    cubic_mask = None
                 if cfg.sl_local and cfg.CFL < 1.0:
                     # gather-free fast path: CFL bounds the backtrace to <1
                     # cell, so the sampling (bilinear or bicubic final
                     # gather) is shifts+selects (VPU)
                     qs_new = advect_semilagrangian_rk4_local(
-                        qs, u, v, dt, dx, dy, interp=cfg.sl_interp
+                        qs, u, v, dt, dx, dy, interp=cfg.sl_interp,
+                        cubic_mask=cubic_mask,
                     )
                 else:
                     qs_new = advect_reference_map_multi(
                         qs, u, v, X, Y, dt, dx, dy, None, cfg.scheme,
                         cfg.w_cut, sl_interp=cfg.sl_interp,
+                        sl_cubic_mask=cubic_mask,
                     )
                 X1s_a, X2s_a = qs_new[:S], qs_new[S:]
             else:

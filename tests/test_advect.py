@@ -336,3 +336,84 @@ def test_local_semilagrangian_bicubic_matches_gather_path():
     loc = np.asarray(advect_semilagrangian_rk4_local(
         qs, jnp.asarray(a), jnp.asarray(b), dt, dx, dy, interp="bicubic"))
     assert np.allclose(loc, ref, atol=1e-12, rtol=0.0)
+
+
+def test_bicubic_band_guard_blends_bilinear():
+    """cubic_mask=False cells take the bilinear sample, True cells the
+    bicubic one — on both the local (shift+select) and gather paths."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.interp import (
+        gather_bicubic_local,
+        gather_bicubic_multi,
+        gather_bilinear_local,
+        gather_bilinear_multi,
+    )
+
+    N = 32
+    X, Y, dx, dy = _setup(N)
+    rng = np.random.default_rng(11)
+    us = jnp.asarray(rng.standard_normal((3, N, N)))
+    sx = jnp.asarray(rng.uniform(-0.9, 0.9, (N, N)))
+    sy = jnp.asarray(rng.uniform(-0.9, 0.9, (N, N)))
+    mask = jnp.asarray(rng.uniform(size=(3, N, N)) > 0.5)
+
+    bic = gather_bicubic_local(us, sx, sy)
+    bil = gather_bilinear_local(us, sx, sy)
+    hyb = gather_bicubic_local(us, sx, sy, cubic_mask=mask)
+    assert np.array_equal(np.asarray(hyb),
+                          np.asarray(jnp.where(mask, bic, bil)))
+
+    xq = jnp.asarray(X) + sx * dx
+    yq = jnp.asarray(Y) + sy * dy
+    bic_g = gather_bicubic_multi(us, xq, yq, dx, dy)
+    bil_g = gather_bilinear_multi(us, xq, yq, dx, dy)
+    hyb_g = gather_bicubic_multi(us, xq, yq, dx, dy, cubic_mask=mask)
+    assert np.array_equal(np.asarray(hyb_g),
+                          np.asarray(jnp.where(mask, bic_g, bil_g)))
+
+
+def test_sim_step_band_guard_limits():
+    """The sl_band_guard limits behave as specified on a full FSI step:
+    a guard wider than the domain makes the bicubic step's reference maps
+    EQUAL the bilinear step's (every cell falls back), while the default
+    guard differs from raw bicubic (sl_band_guard=0) only in the band."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    N = 48
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    base = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                     num_layers=3, CFL=0.2, dt_min_cap=1e-3)
+    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.25,)
+    bc = make_lid_bc(1.0)
+    X, Y, _, _ = _setup(N)
+    u0 = np.sin(np.pi * X) * np.cos(np.pi * Y)
+    v0 = -np.cos(np.pi * X) * np.sin(np.pi * Y)
+    t_end = jnp.asarray(1.0, jnp.float64)
+
+    def run3(cfg):
+        s = make_init_state(cfg, phi_inits, u0=u0, v0=v0, dtype=jnp.float64)
+        step = make_step(cfg, bc, phi_inits, dtype=jnp.float64)
+        for _ in range(3):
+            s, _ = step(s, t_end)
+        return s
+
+    s_bil = run3(base)
+    s_all_bil = run3(dataclasses.replace(base, sl_interp="bicubic",
+                                         sl_band_guard=1e9))
+    assert np.array_equal(np.asarray(s_all_bil.X1), np.asarray(s_bil.X1))
+    assert np.array_equal(np.asarray(s_all_bil.X2), np.asarray(s_bil.X2))
+
+    s_guard = run3(dataclasses.replace(base, sl_interp="bicubic"))
+    s_raw = run3(dataclasses.replace(base, sl_interp="bicubic",
+                                     sl_band_guard=0.0))
+    d_raw = np.max(np.abs(np.asarray(s_guard.X1) - np.asarray(s_raw.X1)))
+    d_bil = np.max(np.abs(np.asarray(s_guard.X1) - np.asarray(s_bil.X1)))
+    assert d_raw > 0.0 and d_bil > 0.0  # guarded sits strictly between
+    assert np.all(np.isfinite(np.asarray(s_guard.X1)))
