@@ -21,7 +21,8 @@ import numpy as np
 
 
 def simulate_tg(N, scheme, t_end=0.25, dt=1.0e-4, stress_band=False,
-                dtype="float32", num_layers=3, sl_interp="bilinear"):
+                dtype="float32", num_layers=3, sl_interp="bilinear",
+                sl_band_guard=3.0):
     """Run disc-in-TG to t_end with FIXED dt; return final fields + energies."""
     import jax
     import jax.numpy as jnp
@@ -41,6 +42,7 @@ def simulate_tg(N, scheme, t_end=0.25, dt=1.0e-4, stress_band=False,
         # band mode: ceil(w_t/dx)+2 for the measured stability rule
         # (benchmarks/README.md section stress_band)
         num_layers=num_layers, CFL=0.2, sl_interp=sl_interp,
+        sl_band_guard=sl_band_guard,
         fixed_dt=dt,  # TRULY fixed: at N>=1024 the adaptive viscous
         # constraint (CFL*dx^2/(4 mu_f) < 1e-4) would otherwise silently
         # bind below the intended step and the leg would stop short of t_end
@@ -108,15 +110,21 @@ def richardson_order(values):
 
 def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
         dt=1.0e-4, stress_band=False, dtype="float32", out_root="outputs",
-        verbose=True, cache=False, num_layers=3, sl_interp="bilinear"):
+        verbose=True, cache=False, num_layers=3, sl_interp="bilinear",
+        sl_band_guard=3.0):
     if verbose:
         print(f"[convergence-TG] scheme={scheme} grids={grids} ref={N_ref} "
               f"t={t_end} dt={dt} dtype={dtype} stress_band={stress_band}")
     from benchmarks.common import ensure_dir
 
+    # cache tags: '_bicubic' = band-guarded (the sl_interp='bicubic'
+    # default), '_bicubic_raw' = guard disabled (the pre-guard variant;
+    # its recorded caches/orders live under that tag)
     tag = (f"convergence_tg_{scheme}" + ("_band" if stress_band else "")
            + (f"_L{num_layers}" if num_layers != 3 else "")
-           + (f"_{sl_interp}" if sl_interp != "bilinear" else ""))
+           + (f"_{sl_interp}" if sl_interp != "bilinear" else "")
+           + ("_raw" if sl_interp != "bilinear" and sl_band_guard <= 0.0
+              else ""))
     out_dir = ensure_dir(os.path.join(out_root, tag))
     sols = {}
     for N in list(grids) + [N_ref]:
@@ -204,14 +212,16 @@ if __name__ == "__main__":
     stress_band = "--stress-band" in argv
     full = "--full" in argv
     cache = "--cache" in argv
-    bicubic = "--bicubic" in argv
+    bicubic = "--bicubic" in argv or "--bicubic-raw" in argv
+    bicubic_raw = "--bicubic-raw" in argv
     argv = [a for a in argv
             if a not in ("--stress-band", "--full", "--f64", "--cache",
-                         "--bicubic")]
+                         "--bicubic", "--bicubic-raw")]
     scheme = argv[0] if argv else "semilagrangian"
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     kw = dict(scheme=scheme, stress_band=stress_band, dtype=dtype, cache=cache,
-              sl_interp="bicubic" if bicubic else "bilinear")
+              sl_interp="bicubic" if bicubic else "bilinear",
+              sl_band_guard=0.0 if bicubic_raw else 3.0)
     if full:
         kw.update(grids=(32, 64, 128, 256), N_ref=512)
     run(**kw)

@@ -123,6 +123,21 @@ run(scheme="semilagrangian", grids=(32, 64, 128, 256, 512), N_ref=1024,
     dtype="float64", stress_band=True, cache=True)
 EOF
 
+# ---- 8b. Bicubic SL convergence (raw = the recorded pre-guard variant,
+#          cache tag _bicubic_raw; guarded = the sl_interp='bicubic'
+#          defaults, cache tag _bicubic) -------------------------------------
+stamp "convergence f64, bicubic raw (grids 32..256 vs N=512)"
+python benchmarks/convergence_taylor_green.py semilagrangian \
+  --cpu --f64 --full --cache --bicubic-raw \
+  > outputs/logs/conv_f64_bicubic.log 2>&1
+stamp "done: conv_f64_bicubic.log (exit $?)"
+
+stamp "convergence f64, bicubic band-guarded (grids 32..256 vs N=512)"
+python benchmarks/convergence_taylor_green.py semilagrangian \
+  --cpu --f64 --full --cache --bicubic \
+  > outputs/logs/conv_f64_bicubic_guard.log 2>&1
+stamp "done: conv_f64_bicubic_guard.log (exit $?)"
+
 # ---- 8. Band-order insensitivity to the stability layer depth ---------------
 run_py conv_f64_band_L4.log <<'EOF'
 import sys; sys.argv += ["--cpu", "--f64"]
