@@ -417,3 +417,42 @@ def test_sim_step_band_guard_limits():
     d_bil = np.max(np.abs(np.asarray(s_guard.X1) - np.asarray(s_bil.X1)))
     assert d_raw > 0.0 and d_bil > 0.0  # guarded sits strictly between
     assert np.all(np.isfinite(np.asarray(s_guard.X1)))
+
+
+def test_band_guard_local_matches_gather_path_in_step():
+    """A guarded-bicubic FSI step gives the same advected maps through the
+    local (shift+select) path and the general gather path (sl_local=False) —
+    the guard mask is applied identically in both."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    N = 48
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    base = RMTConfig(grid=g, mu_s=0.1, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                     num_layers=3, CFL=0.2, dt_min_cap=1e-3,
+                     sl_interp="bicubic")
+    phi_inits = (lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.25,)
+    bc = make_lid_bc(1.0)
+    X, Y, _, _ = _setup(N)
+    u0 = np.sin(np.pi * X) * np.cos(np.pi * Y)
+    v0 = -np.cos(np.pi * X) * np.sin(np.pi * Y)
+    t_end = jnp.asarray(1.0, jnp.float64)
+
+    def run2(cfg):
+        s = make_init_state(cfg, phi_inits, u0=u0, v0=v0, dtype=jnp.float64)
+        step = make_step(cfg, bc, phi_inits, dtype=jnp.float64)
+        for _ in range(2):
+            s, _ = step(s, t_end)
+        return s
+
+    s_loc = run2(base)
+    s_gat = run2(dataclasses.replace(base, sl_local=False))
+    assert np.allclose(np.asarray(s_loc.X1), np.asarray(s_gat.X1),
+                       atol=1e-12, rtol=0.0)
+    assert np.allclose(np.asarray(s_loc.u), np.asarray(s_gat.u),
+                       atol=1e-11, rtol=0.0)
