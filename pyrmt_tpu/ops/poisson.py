@@ -460,6 +460,11 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None, precision=None):
         yhat = dct1_2d_rec(rhs_2d, dct_mats, precision)
         perm_y, perm_x = dct_mats["perm_y"], dct_mats["perm_x"]
         if isinstance(eigenvalues, jax.core.Tracer):
+            # Traced eigenvalues pay an IN-GRAPH 2D gather here — on the TPU
+            # backend f64 strided reordering like this is pathologically
+            # slow. sim.py always passes concrete precomputed eigenvalues
+            # (the branch below, permuted host-side at trace time); keep it
+            # that way for any hot caller.
             eig = eigenvalues[perm_y][:, perm_x].astype(yhat.dtype)
         else:
             import numpy as np

@@ -105,11 +105,24 @@ class RMTConfig:
                                     # bilinear-only)
     sl_band_guard: float = 3.0      # bicubic band guard, in cells: reference-
                                     # map cells with phi > -guard*dx fall back
-                                    # to the bilinear sample, so bicubic's 4x4
-                                    # stencil (reach ±2 cells ≈ 2.83 dx
-                                    # diagonally) never reads EXTRAPOLATED
-                                    # band data. Without it, a thin squeezed
-                                    # solid (soft-disc vs the lid, t≈5) puts
+                                    # to the bilinear sample so bicubic's 4x4
+                                    # stencil stays on REAL solid data. The
+                                    # guard is evaluated at the TARGET cell's
+                                    # phi while the stencil is centred on the
+                                    # DEPARTURE point, so it assumes sub-cell
+                                    # displacements (guaranteed on the default
+                                    # sl_local path by CFL < 1): worst-case
+                                    # stencil reach is then (1+2)*sqrt(2) ≈
+                                    # 4.24 dx diagonally, vs the ~3 dx the
+                                    # default covers plus phi's own negative
+                                    # margin at guarded cells — empirically
+                                    # sufficient on every recorded case, but
+                                    # NOT an airtight bound; with
+                                    # sl_local=False or CFL >= 1 the
+                                    # displacement is unbounded and the guard
+                                    # can under-cover (make_step warns).
+                                    # Without the guard, a thin squeezed solid
+                                    # (soft-disc vs the lid, t≈5) puts
                                     # colliding extrapolations from opposite
                                     # interface lobes inside one stencil and
                                     # the advected map folds (J < 0) —
@@ -279,6 +292,20 @@ def make_step(
                 f"banded stress reads the outermost extrapolation ring; "
                 f"use num_layers >= {need + 1} (= ceil(w_t/dx)+2) for "
                 f"stability on demanding flows (see benchmarks/README.md).",
+                stacklevel=2,
+            )
+        if (cfg.sl_interp == "bicubic" and cfg.sl_band_guard > 0.0
+                and (not cfg.sl_local or cfg.CFL >= 1.0)):
+            # The band guard's coverage argument assumes sub-cell departure
+            # displacements (see the sl_band_guard field docs); on the
+            # general gather path / CFL >= 1 the displacement is unbounded.
+            import warnings
+
+            warnings.warn(
+                "sl_interp='bicubic' with sl_local=False or CFL >= 1: the "
+                "band guard assumes sub-cell departure displacements and "
+                "can under-cover here — raise sl_band_guard or use "
+                "bilinear.",
                 stacklevel=2,
             )
     X, Y = g.coords(dtype=dtype)
