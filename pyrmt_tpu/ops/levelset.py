@@ -9,12 +9,19 @@ Reinitialisation methods:
   * 'pde'  : Sussman-Smereka-Osher upwind iteration with smoothed sign and
              Godunov upwinding, as a ``lax.fori_loop`` (fixed iteration count,
              fully on-device).
-  * 'fmm'  : the reference uses scikit-fmm's sequential fast-marching method,
-             which has no parallel equivalent on TPU. We honour the same
-             behavioural contract (redistance a corrupted SDF to |grad phi|~1
-             near the front, tolerances from tests/test_reinit.py) with a
-             long-horizon PDE reinitialisation — O(iters) data-parallel sweeps
-             instead of a serial heap.
+  * 'fmm'  : the reference uses scikit-fmm's sequential fast-marching method
+             (pyRMT/functions.py:1335-1350), which has no heap-parallel
+             equivalent on TPU. We honour the same behavioural contract
+             (redistance a corrupted SDF to |grad phi|~1 near the front,
+             tolerances from tests/test_reinit.py) with a PARALLEL FAST
+             SWEEPING method (Zhao 2005; anti-diagonal parallelisation after
+             Detrixhe et al. 2013): frontier cells are frozen at their
+             interpolated front distance, then 4 Gauss-Seidel sweep orderings
+             run as ``lax.scan`` over anti-diagonals — cells on diagonal k
+             depend only on updated diagonal k-1 and pre-sweep diagonal k+1,
+             so each diagonal updates as one vector op. Two passes of the 4
+             orderings (8 grid traversals total) replace the previous
+             long-horizon PDE substitute's >= 200 full-grid iterations.
 """
 from __future__ import annotations
 
@@ -84,17 +91,129 @@ def reinitialize_phi_PDE(
 
 
 def reinitialize_phi_fmm_equivalent(phi, dx, dy):
-    """TPU substitute for scikit-fmm: long-horizon SSO PDE reinitialisation.
-
-    The FMM propagates exact distances outward in one serial heap pass; on
-    TPU we instead run the data-parallel upwind PDE to convergence near the
-    front (the region every consumer of 'fmm' in the reference cares about —
-    see tests/test_reinit.py:27-50 tolerances). Iteration count scales with
-    the grid so information crosses the band at unit speed.
-    """
+    """Long-horizon SSO PDE reinitialisation (the round-1/2 'fmm' substitute,
+    kept for reference/AB comparisons; 'fmm' now dispatches to the fast
+    sweeping method below, which reaches the same tolerances in 8 grid
+    traversals instead of >= 200)."""
     n = max(phi.shape)
     iters = max(200, int(1.5 * n))
     return reinitialize_phi_PDE(phi, dx, dy, iters, None, dt_reinit_factor=0.5)
+
+
+def _eikonal_update(a, b, hx, hy, big):
+    """Solve the 2D upwind eikonal quadratic for one cell: given the best
+    upwind neighbour distances ``a`` (x-axis, spacing hx) and ``b`` (y-axis,
+    spacing hy), return the candidate distance (Zhao 2005 local solver).
+    Falls back to the 1D update when the 2D root does not dominate both
+    operands (the standard |a-b| >= h condition, anisotropic form)."""
+    a = jnp.minimum(a, big)
+    b = jnp.minimum(b, big)
+    d1 = jnp.minimum(a + hx, b + hy)
+    ihx2 = 1.0 / (hx * hx)
+    ihy2 = 1.0 / (hy * hy)
+    A = ihx2 + ihy2
+    B = a * ihx2 + b * ihy2
+    C = a * a * ihx2 + b * b * ihy2 - 1.0
+    disc = B * B - A * C
+    d2 = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) / A
+    use2 = (disc >= 0.0) & (d2 >= jnp.maximum(a, b))
+    return jnp.where(use2, d2, d1)
+
+
+def _fsm_sweep(d, frozen, dx, dy, big):
+    """One Gauss-Seidel fast-sweeping traversal in the (i asc, j asc)
+    ordering, parallelised over anti-diagonals: in this ordering, cell
+    (i, j) on diagonal k = i+j reads its already-updated W/S neighbours from
+    diagonal k-1 and its not-yet-visited E/N neighbours from diagonal k+1 of
+    the pre-sweep field — so diagonal k updates as ONE vector op and the
+    traversal is a ``lax.scan`` of length Ny+Nx-1 (Detrixhe et al. 2013).
+    The other three orderings are this kernel on flipped arrays."""
+    Ny, Nx = d.shape
+    K = Ny + Nx - 1
+    ii = jnp.arange(Ny)
+    kk = jnp.arange(K)
+
+    # skew to diagonal-major: D[k, i] = d[i, k-i] (BIG where off-grid)
+    jidx = kk[:, None] - ii[None, :]                      # (K, Ny)
+    valid = (jidx >= 0) & (jidx < Nx)
+    gj = jnp.clip(jidx, 0, Nx - 1)
+    D = jnp.where(valid, d[ii[None, :], gj], big)
+    F = jnp.where(valid, frozen[ii[None, :], gj], True)   # off-grid: frozen
+
+    D_next = jnp.concatenate([D[1:], jnp.full((1, Ny), big, d.dtype)], axis=0)
+    big_one = jnp.full((1,), big, d.dtype)
+
+    def step(prev_new, xs):
+        cur_old, next_old, froz = xs
+        d_w = prev_new                                            # (i, j-1)
+        d_s = jnp.concatenate([big_one, prev_new[:-1]])           # (i-1, j)
+        d_e = next_old                                            # (i, j+1)
+        d_n = jnp.concatenate([next_old[1:], big_one])            # (i+1, j)
+        a = jnp.minimum(d_w, d_e)
+        b = jnp.minimum(d_s, d_n)
+        cand = _eikonal_update(a, b, dx, dy, big)
+        new = jnp.where(froz, cur_old, jnp.minimum(cur_old, cand))
+        return new, new
+
+    init = jnp.full((Ny,), big, d.dtype)
+    _, newD = jax.lax.scan(step, init, (D, D_next, F))
+
+    # unskew: d[i, j] = newD[i+j, i]
+    jj = jnp.arange(Nx)
+    return newD[ii[:, None] + jj[None, :], ii[:, None]]
+
+
+def reinitialize_phi_fsm(phi, dx, dy, n_passes=2):
+    """Parallel fast-sweeping redistancing (the 'fmm' method).
+
+    Behavioural parity with the reference's scikit-fmm path
+    (pyRMT/functions.py:1335-1350): frontier cells (any 4-neighbour sign
+    change) are FROZEN at their linearly-interpolated front distance
+    (per-axis theta = phi/(phi - phi_nbr), combined 1/d^2 = sum 1/d_axis^2 —
+    the same first-order init scikit-fmm uses), then ``n_passes`` rounds of
+    the 4 sweep orderings propagate distances outward; the sign of the input
+    is reapplied at the end. 2 passes fully converge a convex front and meet
+    the tests/test_reinit.py tolerances; each pass is 4 grid traversals.
+    """
+    phi = jnp.asarray(phi)
+    Ny, Nx = phi.shape
+    big = jnp.asarray(2.0 * (Nx * dx + Ny * dy), phi.dtype)
+
+    # --- frontier detection + interpolated front distance ------------------
+    # edge-replicated neighbours (no crossings across the domain boundary)
+    pe = jnp.concatenate([phi[:, 1:], phi[:, -1:]], axis=1)
+    pw = jnp.concatenate([phi[:, :1], phi[:, :-1]], axis=1)
+    pn = jnp.concatenate([phi[1:, :], phi[-1:, :]], axis=0)
+    ps = jnp.concatenate([phi[:1, :], phi[:-1, :]], axis=0)
+
+    def axis_theta(pn1, pn2, h):
+        # smallest positive crossing fraction along this axis (BIG if none)
+        def theta(pnbr):
+            cross = phi * pnbr < 0.0
+            t = jnp.where(cross, phi / (phi - pnbr + 1e-300), 1.0)
+            return jnp.where(cross, jnp.abs(t) * h, big)
+
+        return jnp.minimum(theta(pn1), theta(pn2))
+
+    tx = axis_theta(pe, pw, dx)
+    ty = axis_theta(pn, ps, dy)
+    has_x = tx < big
+    has_y = ty < big
+    inv2 = (jnp.where(has_x, 1.0 / (tx * tx), 0.0)
+            + jnp.where(has_y, 1.0 / (ty * ty), 0.0))
+    d_front = jnp.where(inv2 > 0.0, 1.0 / jnp.sqrt(inv2 + 1e-300), big)
+    frozen = has_x | has_y | (phi == 0.0)
+    d = jnp.where(phi == 0.0, 0.0, jnp.where(frozen, d_front, big))
+
+    # --- 4-ordering sweeps, n_passes rounds --------------------------------
+    for _ in range(n_passes):
+        d = _fsm_sweep(d, frozen, dx, dy, big)
+        d = _fsm_sweep(d[::-1], frozen[::-1], dx, dy, big)[::-1]
+        d = _fsm_sweep(d[:, ::-1], frozen[:, ::-1], dx, dy, big)[:, ::-1]
+        d = _fsm_sweep(d[::-1, ::-1], frozen[::-1, ::-1], dx, dy, big)[::-1, ::-1]
+
+    sgn = jnp.where(phi > 0.0, 1.0, jnp.where(phi < 0.0, -1.0, 0.0))
+    return (sgn * d).astype(phi.dtype)
 
 
 def reinitialize_level_set(
@@ -109,7 +228,7 @@ def reinitialize_level_set(
             phi, dx, dy, num_iters, apply_phi_BCs_func, dt_reinit_factor
         )
     elif method == "fmm":
-        return reinitialize_phi_fmm_equivalent(phi, dx, dy)
+        return reinitialize_phi_fsm(phi, dx, dy)
     else:
         raise ValueError(
             "Unknown reinit method %r (expected 'none', 'pde' or 'fmm')" % (method,)
