@@ -107,8 +107,8 @@ def run(N=128, t_end=2.0, V0=0.15, k_rep=2.0, out_root="outputs",
     rebounded = hist[-1, 3] > gmin + 1e-3
     if verbose:
         print(f"[contact] min center gap = {gmin:.3f} (2R={2 * R:.3f}); "
-              f"min J = {jmin:.3f} (peak elastic compression; "
-              f"reference ~0.74 at N=64); "
+              f"min J = {jmin:.3f} (peak elastic compression; upstream code "
+              f"measures 0.6725 at N=64 — see benchmarks/upstream_rerun/); "
               f"{'REBOUND' if (approached and rebounded) else 'no clear rebound'}; "
               f"no pass-through: {gmin > 0}  "
               f"({nsteps} steps, {wall:.1f}s, {nsteps / wall:.1f} steps/s)")
