@@ -433,8 +433,16 @@ def precompute_poisson_eigenvalues(Nx, Ny, dx, dy, dtype=jnp.float64):
     return jnp.asarray(eig, dtype=dtype)
 
 
-def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None, precision=None):
+def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None, precision=None,
+                      demean=True):
     """Direct Neumann Poisson solve (pyRMT/functions.py:1028-1040).
+
+    ``demean=False`` skips the final Euclidean de-mean — used by the
+    symmetrized variable-rho PCG, whose preconditioner must be EXACTLY
+    symmetric (the DCT-I modes are orthogonal under the trapezoidal
+    boundary-weight inner product, so zeroing the (0,0) mode coefficient is
+    the symmetric gauge fix; an extra Euclidean de-mean breaks symmetry at
+    the ~1e-4 level).
 
     DCT-I diagonalises the asymmetric ghost-mirror matrix exactly; the
     transforms are unnormalised on purpose (a normalised/'ortho' pair changes
@@ -492,7 +500,7 @@ def solve_poisson_dct(rhs_2d, eigenvalues, dct_mats=None, precision=None):
         rhs_hat = dct1_2d(rhs_2d)
         p_hat = rhs_hat / eigenvalues.astype(rhs_hat.dtype)
         p = idct1_2d(p_hat)
-    return p - jnp.mean(p)
+    return (p - jnp.mean(p)) if demean else p
 
 
 # ── Periodic (FFT) solver on the reduced sub-grid ────────────────────────────
@@ -567,13 +575,24 @@ def _grad_y_cc(p, dy):
     return jnp.concatenate([bottom, interior, top], axis=0)
 
 
-def compute_divergence_rc(a_star, b_star, p_prev, dt, rho, dx, dy, variable_rho):
+def compute_divergence_rc(a_star, b_star, p_prev, dt, rho, dx, dy, variable_rho,
+                          st_faces=None):
     """Rhie-Chow face-velocity divergence — kills the collocated-grid
     odd-even (checkerboard) pressure decoupling
     (parity: pyRMT/functions.py:937-992).
 
     ``variable_rho`` is a STATIC flag (trace-time dispatch replaces the
     reference's runtime np.ptp check).
+
+    ``st_faces`` (optional) = (Fx_face, Fy_face, fx_cell, fy_cell): the
+    balanced-force CSF surface-tension force sampled COMPACTLY at faces and
+    its cell average (the one the momentum RHS used). It enters the face
+    velocities exactly like the pressure gradient but with opposite sign —
+    u_f += d_f (F_face - F_avg) — so at discrete equilibrium the face
+    pressure jump cancels the face capillary force identically (the
+    balanced-force property, Francois et al. 2006 JCP 213:141 on a
+    collocated Rhie-Chow scheme). Shapes: Fx_face (Ny, Nx-1) on x-faces,
+    Fy_face (Ny-1, Nx) on y-faces.
     """
     dpdx_cc = _grad_x_cc(p_prev, dx)
     dpdy_cc = _grad_y_cc(p_prev, dy)
@@ -594,6 +613,13 @@ def compute_divergence_rc(a_star, b_star, p_prev, dt, rho, dx, dy, variable_rho)
         d_scalar = dt / jnp.mean(rho)
         d_f_x = d_scalar
         d_f_y = d_scalar
+
+    if st_faces is not None:
+        Fx_face, Fy_face, fx_cell, fy_cell = st_faces
+        face_dpdx = face_dpdx - Fx_face
+        avg_dpdx = avg_dpdx - 0.5 * (fx_cell[:, :-1] + fx_cell[:, 1:])
+        face_dpdy = face_dpdy - Fy_face
+        avg_dpdy = avg_dpdy - 0.5 * (fy_cell[:-1, :] + fy_cell[1:, :])
 
     u_face_rc = u_face - d_f_x * (face_dpdx - avg_dpdx)
     v_face_rc = v_face - d_f_y * (face_dpdy - avg_dpdy)
@@ -683,24 +709,112 @@ def apply_variable_poisson(p, inv_rho, dx, dy):
     return out
 
 
+def _pin_null_mode(eigenvalues):
+    """Set the (0,0) eigenvalue to +inf so the DCT solve ZEROES the constant
+    mode's coefficient (x/inf == 0 in every lowering: fft divide, matmul
+    block divide, recursive-fold divide) — the exact pseudo-inverse gauge in
+    the trapezoidal-weight inner product. Host-side when concrete, keeping
+    the matmul paths' trace-time eigenvalue slicing."""
+    if isinstance(eigenvalues, jax.core.Tracer):
+        return eigenvalues.at[0, 0].set(jnp.inf)
+    import numpy as np
+
+    e = np.array(eigenvalues)
+    e[0, 0] = np.inf
+    return jnp.asarray(e)
+
+
+def _trapezoid_weights(shape, dtype):
+    """w = wy (x) wx with half weights on boundary rows/cols: the diagonal D
+    that symmetrizes the ghost-mirror operator (D A is symmetric negative
+    semidefinite with null space = constants; verified to machine zero)."""
+    Ny, Nx = shape
+    wx = jnp.ones((Nx,), dtype).at[jnp.array([0, Nx - 1])].set(0.5)
+    wy = jnp.ones((Ny,), dtype).at[jnp.array([0, Ny - 1])].set(0.5)
+    return wy[:, None] * wx[None, :]
+
+
 @partial(jax.jit, static_argnames=("dx", "dy", "tol", "maxiter", "precision"))
+def solve_variable_poisson_cg_counted(
+    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None,
+    precision=None,
+):
+    """SYMMETRIZED preconditioned CG for the variable-density Neumann Poisson
+    problem, with solver observability: returns ``(p, iters, relres)``.
+
+    Deliberate deviation from the reference (documented, docs/DESIGN.md):
+    the reference runs scipy CG directly on the ghost-mirror operator
+    (pyRMT/functions.py:1221-1246), which is NONSYMMETRIC at boundary rows
+    (the mirrored ghost doubles the inward-neighbour coefficient) — CG's
+    convergence theory does not apply, and measured on a 10:1 density
+    contrast it stagnates at ~1e-3 relative residual without ever reaching
+    its tol=1e-6 (scipy's info flag is discarded upstream). Here the system
+    is left-scaled by the trapezoidal boundary weights D (half on boundary
+    rows/cols, quarter on corners): D A is exactly symmetric negative
+    semidefinite with null space = constants, the preconditioner
+    M = A_c^+ D^{-1} (the DCT direct solve of the weighted residual, zero
+    mode zeroed — the reference's own preconditioner choice,
+    functions.py:1234-1237, made symmetric) is symmetric, and PCG converges
+    like a proper PCG (~tens of iterations at 10:1 contrast instead of
+    stagnating). The rhs is projected onto range(D A) (zero-sum after
+    weighting) — the minimal consistency fix for the all-Neumann problem.
+
+    Termination: ||r|| <= tol * ||b|| in the symmetrized system, capped at
+    ``maxiter``. Update ordering matches jax.scipy.sparse.linalg.cg.
+    """
+    w = _trapezoid_weights(rhs.shape, rhs.dtype)
+    inv_w = 1.0 / w
+    eig_pre = _pin_null_mode(eigenvalues)
+
+    def matvec(p):
+        return w * apply_variable_poisson(p, inv_rho, dx, dy)
+
+    def precond(r):
+        return solve_poisson_dct(r * inv_w, eig_pre, dct_mats=dct_mats,
+                                 precision=precision, demean=False)
+
+    b = w * rhs
+    b = b - jnp.mean(b)
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    atol2 = tol * bnorm  # jax cg: max(tol*||b||, atol), atol defaults to 0
+
+    r0 = b  # x0 = 0
+    z0 = precond(r0)
+    gamma0 = jnp.sum(r0 * z0)
+    x0 = jnp.zeros_like(b)
+    k0 = jnp.zeros((), jnp.int32)
+
+    def cond(carry):
+        _, r, _, _, k = carry
+        return (jnp.sqrt(jnp.sum(r * r)) > atol2) & (k < maxiter)
+
+    def body(carry):
+        x, r, gamma, d, k = carry
+        Ad = matvec(d)
+        alpha = gamma / jnp.sum(d * Ad)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = precond(r)
+        gamma_new = jnp.sum(r * z)
+        beta = gamma_new / gamma
+        d = z + beta * d
+        return x, r, gamma_new, d, k + 1
+
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, gamma0, z0, k0))
+    relres = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(
+        bnorm, jnp.finfo(rhs.dtype).tiny)
+    return x - jnp.mean(x), k, relres
+
+
 def solve_variable_poisson_cg(
     rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None,
     precision=None,
 ):
-    """Matrix-free CG for the variable-density Poisson problem, preconditioned
-    by the constant-coefficient DCT direct solve (the reference's own fast
-    path, pyRMT/functions.py:1221-1246). Fully on-device; no pyamg."""
-
-    def matvec(p):
-        return apply_variable_poisson(p, inv_rho, dx, dy)
-
-    def precond(r):
-        return solve_poisson_dct(r, eigenvalues, dct_mats=dct_mats,
-                                 precision=precision)
-
-    rhs = rhs - jnp.mean(rhs)
-    p, _ = jax.scipy.sparse.linalg.cg(
-        matvec, rhs, x0=jnp.zeros_like(rhs), tol=tol, maxiter=maxiter, M=precond
+    """``solve_variable_poisson_cg_counted`` without the info outputs (the
+    drop-in signature the projection hub uses when no observability is
+    requested)."""
+    p, _, _ = solve_variable_poisson_cg_counted(
+        rhs, inv_rho, eigenvalues, dx, dy, tol=tol, maxiter=maxiter,
+        dct_mats=dct_mats, precision=precision,
     )
-    return p - jnp.mean(p)
+    return p

@@ -50,6 +50,8 @@ def pressure_projection(
     stencil_bc_spec=None,
     stencil_interpret=False,
     dct_precision=None,
+    cg_info=False,
+    st_faces=None,
 ):
     """Project (a*, b*) onto a (discretely) divergence-free field.
 
@@ -64,14 +66,23 @@ def pressure_projection(
     including the in-kernel velocity BC. ``dct_precision``
     (None/'highest'/'high') sets the MXU matmul precision of the DCT
     transforms when ``dct_mats`` is given — see ops/poisson.py. Returns
-    (a, b, p).
+    (a, b, p), or (a, b, p, (cg_iters, cg_relres)) when ``cg_info=True``
+    with ``variable_rho=True`` (the counted while-loop PCG; same math as
+    the jax.scipy path, pinned in tests/test_poisson.py).
     """
+    if cg_info and not variable_rho:
+        raise ValueError("cg_info=True requires variable_rho=True")
+    if st_faces is not None and (bc_type != "neumann" or p_prev is None):
+        raise ValueError(
+            "balanced-force st_faces requires the incremental Neumann "
+            "(Rhie-Chow) projection")
     rho = jnp.asarray(rho, dtype=a_star.dtype)
     use_stencil_kernels = (
         stencil_bc_spec is not None
         and bc_type == "neumann"
         and p_prev is not None
         and not variable_rho
+        and st_faces is None  # the fused RC-rhs kernel has no face-force path
     )
 
     if bc_type == "periodic":
@@ -113,18 +124,29 @@ def pressure_projection(
 
     if p_prev is not None:
         divU = compute_divergence_rc(
-            a_star, b_star, p_prev, dt, rho, dx, dy, variable_rho
+            a_star, b_star, p_prev, dt, rho, dx, dy, variable_rho,
+            st_faces=st_faces,
         )
     else:
         divU = compute_divergence(a_star, b_star, dx, dy)
 
+    cg_stats = None
     if variable_rho:
         rhs = divU / dt
         inv_rho = 1.0 / rho
-        p_correction = solve_variable_poisson_cg(
-            rhs, inv_rho, eigenvalues, dx, dy, tol=cg_tol, maxiter=cg_maxiter,
-            dct_mats=dct_mats, precision=dct_precision,
-        )
+        if cg_info:
+            from pyrmt_tpu.ops.poisson import solve_variable_poisson_cg_counted
+
+            p_correction, cg_iters, cg_relres = solve_variable_poisson_cg_counted(
+                rhs, inv_rho, eigenvalues, dx, dy, tol=cg_tol,
+                maxiter=cg_maxiter, dct_mats=dct_mats, precision=dct_precision,
+            )
+            cg_stats = (cg_iters, cg_relres)
+        else:
+            p_correction = solve_variable_poisson_cg(
+                rhs, inv_rho, eigenvalues, dx, dy, tol=cg_tol,
+                maxiter=cg_maxiter, dct_mats=dct_mats, precision=dct_precision,
+            )
     else:
         rhs_2d = rho * divU / dt
         p_correction = solve_poisson_dct(rhs_2d, eigenvalues,
@@ -137,4 +159,7 @@ def pressure_projection(
     a, b = velocity_bc(a, b)
 
     p = (p_prev + p_correction) if p_prev is not None else p_correction
-    return a, b, p - jnp.mean(p)
+    p = p - jnp.mean(p)
+    if cg_stats is not None:
+        return a, b, p, cg_stats
+    return a, b, p

@@ -306,3 +306,97 @@ def test_sim_step_dct_method_matmul_rec_matches_fft():
         s_rec, _ = step_rec(s_rec, t_end)
     assert np.allclose(np.asarray(s_rec.u), np.asarray(s_fft.u), atol=1e-11)
     assert np.allclose(np.asarray(s_rec.p), np.asarray(s_fft.p), atol=1e-10)
+
+
+def test_trapezoid_weights_symmetrize_variable_operator():
+    """The trapezoidal boundary weights D make D A exactly symmetric (the
+    property the variable-rho PCG relies on; the raw ghost-mirror operator
+    is nonsymmetric at boundary rows)."""
+    from pyrmt_tpu.ops.poisson import _trapezoid_weights
+
+    N = 12
+    X, Y, dx, dy = _mk(N)
+    rho = np.where(np.sqrt((X - 0.5) ** 2 + (Y - 0.6) ** 2) - 0.3 <= 0, 10.0, 1.0)
+    inv_rho = 1.0 / rho
+    n = N * N
+    A = np.zeros((n, n))
+    for k in range(n):
+        e = np.zeros(n)
+        e[k] = 1.0
+        A[:, k] = np.asarray(
+            apply_variable_poisson(e.reshape(N, N), inv_rho, dx, dy)
+        ).ravel()
+    assert np.max(np.abs(A - A.T)) > 1.0  # raw operator really is asymmetric
+    w = np.asarray(_trapezoid_weights((N, N), np.float64)).ravel()
+    S = w[:, None] * A
+    assert np.max(np.abs(S - S.T)) < 1e-12
+    # negative semidefinite with a single (constant) null mode
+    ev = np.linalg.eigvalsh(S)
+    assert ev[-1] < 1e-10 and ev[-2] < -1e-6
+
+
+def test_variable_density_cg_counted_converges_sharp_contrast():
+    """The symmetrized PCG converges to tol in tens of iterations on a SHARP
+    10:1 density contrast — the configuration on which CG on the raw
+    (nonsymmetric) operator, as the reference runs it, stagnates at ~1e-3
+    after 200 iterations (measured; docs/DESIGN.md deviation)."""
+    from pyrmt_tpu.ops.poisson import (
+        _trapezoid_weights,
+        solve_variable_poisson_cg_counted,
+    )
+
+    N = 65
+    X, Y, dx, dy = _mk(N)
+    rho = np.where(np.sqrt((X - 0.5) ** 2 + (Y - 0.7) ** 2) - 0.15 <= 0, 10.0, 1.0)
+    inv_rho = 1.0 / rho
+    rng = np.random.default_rng(0)
+    rhs = rng.standard_normal((N, N))
+    p, it, rr = solve_variable_poisson_cg_counted(
+        rhs, inv_rho, eigenvalues=precompute_poisson_eigenvalues(N, N, dx, dy),
+        dx=dx, dy=dy, tol=1e-8, maxiter=200)
+    assert int(it) < 50
+    assert float(rr) <= 1e-8
+    # reported relres == true weighted-system residual
+    w = np.asarray(_trapezoid_weights((N, N), np.float64))
+    b = w * rhs
+    b = b - b.mean()
+    r = w * np.asarray(apply_variable_poisson(p, inv_rho, dx, dy)) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) <= 1.1e-8
+
+
+def test_variable_density_cg_counted_matches_uncounted():
+    from pyrmt_tpu.ops.poisson import solve_variable_poisson_cg_counted
+
+    N = 33
+    X, Y, dx, dy = _mk(N)
+    rho = 1.0 + 9.0 * (np.sqrt((X - 0.4) ** 2 + (Y - 0.5) ** 2) < 0.2)
+    inv_rho = 1.0 / rho
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal((N, N))
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    p1 = np.asarray(solve_variable_poisson_cg(rhs, inv_rho, eig, dx, dy))
+    p2, _, _ = solve_variable_poisson_cg_counted(rhs, inv_rho, eig, dx, dy)
+    assert np.max(np.abs(p1 - np.asarray(p2))) < 1e-13
+
+
+def test_projection_cg_info_contract():
+    """pressure_projection(cg_info=True) returns (a, b, p, (iters, relres))
+    on the variable-rho path and raises on the constant-rho one."""
+    import jax.numpy as jnp
+    import pytest
+
+    N = 33
+    X, Y, dx, dy = _mk(N)
+    a = jnp.asarray(np.sin(np.pi * X) * np.cos(np.pi * Y))
+    b = jnp.asarray(0.5 * np.cos(np.pi * X) * np.sin(np.pi * Y))
+    a, b = _wall_bc(a, b)
+    rho = jnp.asarray(1.0 + 9.0 * (np.sqrt((X - 0.5) ** 2 + (Y - 0.6) ** 2) < 0.2))
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    an, bn, p, (it, rr) = pressure_projection(
+        a, b, dx, dy, 1e-2, rho, _wall_bc, p_prev=None, eigenvalues=eig,
+        bc_type="neumann", variable_rho=True, cg_info=True)
+    assert 0 < int(it) <= 200 and float(rr) <= 1e-6
+    with pytest.raises(ValueError):
+        pressure_projection(
+            a, b, dx, dy, 1e-2, 1.0, _wall_bc, p_prev=None, eigenvalues=eig,
+            bc_type="neumann", variable_rho=False, cg_info=True)
