@@ -1,0 +1,169 @@
+"""Density-contrast FSI: a heavy soft disc sinking under buoyancy.
+
+The round-2 verdict's end-to-end gap: the variable-density CG projection
+(reference path (c), pyRMT/functions.py:1221-1249 — matrix-free CG
+preconditioned by the constant-coefficient DCT solve) was exercised only by
+manufactured unit tests; every recorded benchmark used rho_s == rho_f. The
+reference itself names "stiff solids, high density ratio" (Jain 2019 Sec.
+4.6) as its own follow-up and ships no such case.
+
+This driver runs one: a neo-Hookean disc with rho_s/rho_f = 10 released at
+rest in a closed free-slip box under gravity (buoyancy body force
+(rho_local - rho_f) * g — see RMTConfig.g_y). The disc sinks; validation is
+quantitative:
+
+  * early-time acceleration vs potential-flow added mass: a 2D cylinder has
+    added-mass coefficient C_a = 1 (Lamb, Hydrodynamics Sec. 71; Jain 2019
+    uses the same anchor family), so before viscous drag and wall effects
+    build, d2y/dt2 -> g (rho_s - rho_f) / (rho_s + C_a rho_f) = 0.818 g.
+  * monotone descent, bounded deformation (min J), no divergence.
+  * CG iteration counts per step (in-graph, aux['cg_iters']) — the DCT
+    preconditioner must hold them far below cg_maxiter at the 10:1 contrast.
+  * post-projection interior max |div u| — the variable-rho solve must
+    actually enforce incompressibility end-to-end.
+
+Usage:
+    python benchmarks/density_contrast_disc.py [N] [rho_ratio] [--f64] [--cpu]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(N=128, rho_ratio=10.0, t_end=1.0, g0=1.0, out_root="outputs",
+        dtype="float32", log_every=50, verbose=True, cfg_overrides=None):
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.common import ensure_dir, make_disc_phi_init
+    from pyrmt_tpu.bcs import free_slip_box_bc
+    from pyrmt_tpu.diagnostics import divergence_2d_interior
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.io import EnergyLogger
+    from pyrmt_tpu.sim import RMTConfig, diverged, make_init_state, make_step
+
+    dt_ = jnp.float64 if dtype == "float64" else jnp.float32
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    x0, y0, R = 0.5, 0.7, 0.15
+    phi_init = make_disc_phi_init(x0, y0, R)
+
+    cfg = RMTConfig(
+        grid=g, mu_s=1.0, kappa=0.0, rho_s=rho_ratio, eta_s=0.0,
+        mu_f=1.0e-3, rho_f=1.0, g_y=-g0, w_t_cells=2.0,
+        scheme="semilagrangian", bc_type="neumann", variable_rho=True,
+        num_layers=3, CFL=0.2, dt_min_cap=1e-3, cg_tol=1e-6, cg_maxiter=200,
+    )
+    if cfg_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+    step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=dt_)
+    state = make_init_state(cfg, (phi_init,), dtype=dt_)
+    t_end_j = jnp.asarray(t_end, dt_)
+    X, Y = g.coords(dtype=dt_)
+
+    @jax.jit
+    def chunk(s):
+        def body(carry, _):
+            s, _aux, it_max, it_sum = carry
+            s2, aux = step(s, t_end_j)
+            return (s2, aux, jnp.maximum(it_max, aux["cg_iters"]),
+                    it_sum + aux["cg_iters"]), None
+
+        s1, aux1 = step(s, t_end_j)
+        (s2, aux, it_max, it_sum), _ = jax.lax.scan(
+            body, (s1, aux1, aux1["cg_iters"], aux1["cg_iters"]), None,
+            length=log_every - 1)
+        phi = aux["phis"][0]
+        from pyrmt_tpu.ops.stress import smoothed_heaviside
+
+        w = 1.0 - smoothed_heaviside(phi, cfg.w_t)  # solid volume fraction
+        wsum = jnp.sum(w)
+        yc = jnp.sum(w * Y) / wsum
+        xc = jnp.sum(w * X) / wsum
+        vc = jnp.sum(w * s2.v) / wsum
+        _, div_i = divergence_2d_interior(s2.u, s2.v, g.dx, g.dy)
+        div = jnp.max(jnp.abs(div_i))
+        ty = s2.t.dtype
+        stats = jnp.stack([
+            s2.t, xc.astype(ty), yc.astype(ty), vc.astype(ty),
+            jnp.min(aux["J"]).astype(ty), div.astype(ty),
+            it_max.astype(ty), (it_sum / log_every).astype(ty),
+            aux["cg_relres"].astype(ty),
+        ])
+        return s2, stats
+
+    if verbose:
+        print(f"[density-contrast] N={N} rho_s/rho_f={rho_ratio} g={g0} "
+              f"dtype={dtype} cg_tol={cfg.cg_tol}")
+    log = EnergyLogger()
+    nsteps = 0
+    t_wall = time.perf_counter()
+    while float(state.t) < t_end:
+        state, stats = chunk(state)
+        nsteps += log_every
+        t, xc, yc, vc, minJ, div, itmax, itmean, relres = map(
+            float, np.asarray(stats))
+        log.log(t=t, xc=xc, yc=yc, vc=vc, minJ=minJ, max_div=div,
+                cg_iters_max=itmax, cg_iters_mean=itmean, cg_relres=relres)
+        if verbose:
+            print(f"  step {nsteps:5d} t={t:5.3f} yc={yc:.4f} vc={vc:+.4f} "
+                  f"minJ={minJ:.3f} max|div|={div:.2e} "
+                  f"cg_it mean={itmean:.1f} max={itmax:.0f}")
+        if bool(diverged(state)):
+            print("  [diverged]")
+            break
+    wall = time.perf_counter() - t_wall
+
+    out_dir = ensure_dir(os.path.join(out_root, f"density_contrast_N{N}"))
+    log.to_csv(os.path.join(out_dir, "trajectory.csv"))
+
+    rows = log.array("t", "yc", "vc", "cg_iters_mean", "cg_iters_max",
+                     "max_div", "minJ")
+    # early-time acceleration: linear fit of the solid-averaged vertical
+    # velocity over t in [t_lo, t_hi] (skip the first chunk's startup).
+    t_lo, t_hi = 0.02, 0.12
+    m = (rows[:, 0] >= t_lo) & (rows[:, 0] <= t_hi)
+    accel = np.nan
+    if m.sum() >= 2:
+        accel = np.polyfit(rows[m, 0], rows[m, 2], 1)[0]
+    a_theory = -g0 * (rho_ratio - 1.0) / (rho_ratio + 1.0)
+    summary = dict(
+        accel_early=accel, accel_added_mass=a_theory,
+        accel_rel_err=abs(accel - a_theory) / abs(a_theory),
+        yc_final=rows[-1, 1], vc_final=rows[-1, 2],
+        descent_monotone=bool(np.all(np.diff(rows[:, 1]) < 0)),
+        cg_iters_mean=float(np.mean(rows[:, 3])),
+        cg_iters_max=float(np.max(rows[:, 4])),
+        max_div=float(np.max(rows[:, 5])),
+        minJ=float(np.min(rows[:, 6])),
+        steps=nsteps, wall_s=wall, steps_per_s=nsteps / wall,
+    )
+    if verbose:
+        print(f"[density-contrast] early accel {accel:.4f} vs added-mass "
+              f"theory {a_theory:.4f} (C_a=1): rel err "
+              f"{summary['accel_rel_err']*100:.1f}%")
+        print(f"  descent monotone: {summary['descent_monotone']}  "
+              f"final yc={summary['yc_final']:.4f} vc={summary['vc_final']:.4f}")
+        print(f"  CG iters mean {summary['cg_iters_mean']:.1f} / max "
+              f"{summary['cg_iters_max']:.0f} (cap {cfg.cg_maxiter}); "
+              f"max interior |div u| {summary['max_div']:.2e}")
+        print(f"  minJ {summary['minJ']:.3f}  ({nsteps} steps, {wall:.1f}s, "
+              f"{nsteps/wall:.1f} steps/s)")
+    return log.rows, summary
+
+
+if __name__ == "__main__":
+    from benchmarks.common import apply_cli_platform
+
+    apply_cli_platform()
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    dtype = "float64" if "--f64" in sys.argv else "float32"
+    run(N=N, rho_ratio=ratio, dtype=dtype)

@@ -122,10 +122,53 @@ def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t):
     return f_ext_x, f_ext_y
 
 
+def balanced_csf_forces(phis, H_s, dx, dy, gamma, kappas=None):
+    """Balanced-force CSF (Francois et al. 2006 adapted to this collocated
+    Rhie-Chow scheme): the capillary force is sampled COMPACTLY at faces
+    with the same discrete gradient the face pressure jump uses,
+
+        Fx_face = -gamma * kappa_face * (H_E - H_C) / dx,
+
+    the cell-centred momentum force is the face average (so the cell
+    pressure gradient — the average of the two face-compact gradients —
+    cancels it identically), and the face forces also enter the Rhie-Chow
+    corrector (ops/poisson.py:compute_divergence_rc). For a face-constant
+    curvature estimate the discrete equilibrium p = gamma*kappa*H + const
+    then has ZERO parasitic currents to roundoff (pinned in
+    tests/test_physics.py); with the real kappa field the residual currents
+    come only from curvature variation along the interface. This is the
+    balanced-force upgrade the reference names as its own open follow-up
+    ("needs a balanced-force CSF", reference benchmarks/README.md Surface
+    tension caveat) and never implements.
+
+    Returns (fx_cell, fy_cell, Fx_face, Fy_face) with faces shaped
+    (Ny, Nx-1) / (Ny-1, Nx). ``kappas`` (optional, (S, Ny, Nx)) overrides
+    the curvature stack — used by the exact-balance test.
+    """
+    S = phis.shape[0]
+    shape = phis.shape[1:]
+    Fx = jnp.zeros((shape[0], shape[1] - 1), phis.dtype)
+    Fy = jnp.zeros((shape[0] - 1, shape[1]), phis.dtype)
+    for i in range(S):
+        kap = compute_curvature(phis[i], dx, dy) if kappas is None else kappas[i]
+        kx_f = 0.5 * (kap[:, :-1] + kap[:, 1:])
+        ky_f = 0.5 * (kap[:-1, :] + kap[1:, :])
+        Fx = Fx - gamma * kx_f * (H_s[i][:, 1:] - H_s[i][:, :-1]) / dx
+        Fy = Fy - gamma * ky_f * (H_s[i][1:, :] - H_s[i][:-1, :]) / dy
+    zx = jnp.zeros((shape[0], 1), phis.dtype)
+    zy = jnp.zeros((1, shape[1]), phis.dtype)
+    Fx_pad = jnp.concatenate([zx, Fx, zx], axis=1)
+    Fy_pad = jnp.concatenate([zy, Fy, zy], axis=0)
+    fx_cell = 0.5 * (Fx_pad[:, :-1] + Fx_pad[:, 1:])
+    fy_cell = 0.5 * (Fy_pad[:-1, :] + Fy_pad[1:, :])
+    return fx_cell, fy_cell, Fx, Fy
+
+
 def momentum_step_rk4_multi(
     u, v, p, X1s, X2s, phis, velocity_bc, *,
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
+    g_x=0.0, g_y=0.0, g_rho_ref=None, ext_override=None,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
     pallas_rk4_kwargs=None,
 ):
@@ -133,6 +176,8 @@ def momentum_step_rk4_multi(
 
     X1s, X2s, phis are (S, Ny, Nx) stacks. Returns
     (u_new, v_new, sxx, sxy, syy, J) with the per-solid stress stacks and J.
+    ``g_x, g_y`` add the buoyancy body force (rho_local - g_rho_ref) * g
+    (see RMTConfig.g_x; g_rho_ref=None uses rho_f).
     """
     S = X1s.shape[0]
 
@@ -151,9 +196,19 @@ def momentum_step_rk4_multi(
     sig_sxy_el = jnp.sum(one_minus_H * sxy_s, axis=0)
     sig_syy_el = jnp.sum(one_minus_H * syy_s, axis=0)
 
-    # external body forces constant over the RK4 stages
-    f_ext_x, f_ext_y = external_forces(
-        phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t)
+    # external body forces constant over the RK4 stages; ext_override
+    # (fx, fy) replaces the CSF+contact computation entirely (the caller —
+    # sim.make_step with st_method='balanced' — built the forces itself so
+    # the projection can share the face-sampled capillary terms)
+    if ext_override is not None:
+        f_ext_x, f_ext_y = ext_override
+    else:
+        f_ext_x, f_ext_y = external_forces(
+            phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t)
+    if g_x != 0.0 or g_y != 0.0:
+        drho = rho_local - (rho_f if g_rho_ref is None else g_rho_ref)
+        f_ext_x = f_ext_x + drho * g_x
+        f_ext_y = f_ext_y + drho * g_y
 
     solid_masks = phis <= 0.0
     use_kv = eta_s > 0.0

@@ -72,6 +72,36 @@ class RMTConfig:
     mu_f: float = 1.0
     rho_f: float = 1.0
     gamma: float = 0.0
+    st_method: str = "csf"          # surface-tension discretisation:
+                                    # 'csf' = reference-parity cell-centred
+                                    # CSF f = -gamma*kappa*grad(H)
+                                    # (pyRMT/functions.py:621-628);
+                                    # 'balanced' = balanced-force CSF: the
+                                    # capillary force is sampled compactly
+                                    # at faces with the same stencil as the
+                                    # face pressure jump and fed into BOTH
+                                    # the momentum RHS (as the face average)
+                                    # and the Rhie-Chow corrector — zero
+                                    # parasitic currents to roundoff for a
+                                    # face-constant curvature (see
+                                    # physics.balanced_csf_forces). The
+                                    # upgrade the reference names as its own
+                                    # open follow-up and never implements
+    g_x: float = 0.0                # gravitational acceleration; enters the
+    g_y: float = 0.0                # momentum RHS as the BUOYANCY body force
+                                    # (rho_local - g_rho_ref) * g — the
+                                    # uniform rho_ref*g part is absorbed into
+                                    # the pressure (standard for confined
+                                    # incompressible flow; avoids the
+                                    # hydrostatic-background transient a raw
+                                    # rho*g force feeds through the Neumann
+                                    # projection). Beyond-reference feature:
+                                    # upstream has no body force at all;
+                                    # enables the density-contrast benchmark
+                                    # (benchmarks/density_contrast_disc.py)
+    g_rho_ref: float | None = None  # reference density for buoyancy
+                                    # (None -> rho_f, making the pure-fluid
+                                    # region exactly force-free)
     w_t_cells: float = 2.0          # transition width in units of dx
     # numerics
     scheme: str = "semilagrangian"  # 'semilagrangian' | 'central2' | 'weno5'
@@ -309,6 +339,15 @@ def make_step(
                 stacklevel=2,
             )
     X, Y = g.coords(dtype=dtype)
+    has_gravity = cfg.g_x != 0.0 or cfg.g_y != 0.0
+    g_rho_ref = cfg.rho_f if cfg.g_rho_ref is None else cfg.g_rho_ref
+    if cfg.st_method not in ("csf", "balanced"):
+        raise ValueError(f"unknown st_method {cfg.st_method!r}")
+    st_balanced = cfg.st_method == "balanced" and cfg.gamma > 1e-12
+    if st_balanced and cfg.bc_type != "neumann":
+        raise ValueError(
+            "st_method='balanced' requires the incremental Neumann "
+            "(Rhie-Chow) projection (bc_type='neumann')")
 
     if cfg.bc_type == "periodic":
         eig = precompute_poisson_eigenvalues_periodic(g.Nx, g.Ny, dx, dy, dtype=dtype)
@@ -462,14 +501,31 @@ def make_step(
             X1s = jnp.where(active, X1e, state.X1)
             X2s = jnp.where(active, X2e, state.X2)
 
+            st_faces = None
             if cfg.gamma > 1e-12 or (cfg.k_rep > 0.0 and S >= 2):
+                from pyrmt_tpu.physics import balanced_csf_forces
+
                 H_s = smoothed_heaviside(phis, cfg.w_t)
-                f_ext_x, f_ext_y = external_forces(
-                    phis, H_s, dx, dy, gamma=cfg.gamma, k_rep=cfg.k_rep,
-                    w_c=cfg.w_c, w_t=cfg.w_t)
+                if st_balanced:
+                    fxc, fyc, Fxf, Fyf = balanced_csf_forces(
+                        phis, H_s, dx, dy, cfg.gamma)
+                    cfx, cfy = external_forces(
+                        phis, H_s, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
+                        w_c=cfg.w_c, w_t=cfg.w_t)
+                    f_ext_x = fxc + cfx
+                    f_ext_y = fyc + cfy
+                    st_faces = (Fxf, Fyf, fxc, fyc)
+                else:
+                    f_ext_x, f_ext_y = external_forces(
+                        phis, H_s, dx, dy, gamma=cfg.gamma, k_rep=cfg.k_rep,
+                        w_c=cfg.w_c, w_t=cfg.w_t)
             else:
                 f_ext_x = jnp.zeros(g.shape, dtype)
                 f_ext_y = f_ext_x
+            if has_gravity:
+                drho = rho_local - g_rho_ref
+                f_ext_x = f_ext_x + drho * cfg.g_x
+                f_ext_y = f_ext_y + drho * cfg.g_y
             if cfg.eta_s > 0.0:
                 if S == 1:
                     # Hf == H_0 for a single solid: reuse the RMT block's
@@ -491,19 +547,22 @@ def make_step(
                 use_pallas_rk4=use_pallas_rk4,
                 pallas_rk4_fn=momentum_rk4_impl,
                 ext_is_zero=not (cfg.gamma > 1e-12
-                                 or (cfg.k_rep > 0.0 and S >= 2)),
+                                 or (cfg.k_rep > 0.0 and S >= 2)
+                                 or has_gravity),
                 pallas_rk4_kwargs=(
                     {"slab_halo": True} if cfg.kernel_slab_halo else None),
             )
 
-            u_new, v_new, p_new = pressure_projection(
+            proj_out = pressure_projection(
                 u_star, v_star, dx, dy, dt, rho_local, velocity_bc,
                 p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
                 variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
                 cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
                 stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
-                dct_precision=dct_prec,
+                dct_precision=dct_prec, cg_info=cfg.variable_rho,
+                st_faces=st_faces,
             )
+            u_new, v_new, p_new = proj_out[:3]
 
             frz = lambda new, old: jnp.where(active, new, old)
             new_state = SimState(
@@ -521,6 +580,8 @@ def make_step(
                 "syy": syy_s,
                 "rho_local": rho_local,
             }
+            if cfg.variable_rho:
+                aux["cg_iters"], aux["cg_relres"] = proj_out[3]
             return new_state, aux
 
         if S > 0:
@@ -600,13 +661,29 @@ def make_step(
         else:
             phis = jnp.zeros((0,) + g.shape, dtype)
 
-        # (5) momentum
+        # (5) momentum (with st_method='balanced' the CSF forces are built
+        # here so the projection can reuse the face-sampled capillary terms)
+        st_faces = None
+        ext_override = None
+        if S > 0 and st_balanced:
+            from pyrmt_tpu.physics import balanced_csf_forces, external_forces
+
+            H_st = smoothed_heaviside(phis, cfg.w_t)
+            fxc, fyc, Fxf, Fyf = balanced_csf_forces(
+                phis, H_st, dx, dy, cfg.gamma)
+            cfx, cfy = external_forces(
+                phis, H_st, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
+                w_c=cfg.w_c, w_t=cfg.w_t)
+            ext_override = (fxc + cfx, fyc + cfy)
+            st_faces = (Fxf, Fyf, fxc, fyc)
         u_star, v_star, sxx_s, sxy_s, syy_s, J_s = momentum_step_rk4_multi(
             u, v, p, X1s, X2s, phis, velocity_bc,
             mu_s=cfg.mu_s, kappa=cfg.kappa, eta_s=cfg.eta_s, dx=dx, dy=dy,
             dt=dt, rho_s=cfg.rho_s, rho_f=cfg.rho_f, mu_f=cfg.mu_f,
             w_t=cfg.w_t, gamma=cfg.gamma, stress_w_cut=stress_w_cut,
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
+            g_x=cfg.g_x, g_y=cfg.g_y, g_rho_ref=g_rho_ref,
+            ext_override=ext_override,
             use_pallas_rhs=cfg.use_pallas_rhs, use_pallas_rk4=use_pallas_rk4,
             pallas_rk4_fn=momentum_rk4_impl,
             pallas_rk4_kwargs=(
@@ -621,14 +698,16 @@ def make_step(
         else:
             rho_local = jnp.full(g.shape, cfg.rho_f, dtype)
 
-        u_new, v_new, p_new = pressure_projection(
+        proj_out = pressure_projection(
             u_star, v_star, dx, dy, dt, rho_local, velocity_bc,
             p_prev=p, eigenvalues=eig, bc_type=cfg.bc_type,
             variable_rho=cfg.variable_rho, cg_tol=cfg.cg_tol,
             cg_maxiter=cfg.cg_maxiter, dct_mats=dct_mats,
             stencil_bc_spec=proj_spec, stencil_interpret=proj_interpret,
-            dct_precision=dct_prec,
+            dct_precision=dct_prec, cg_info=cfg.variable_rho,
+            st_faces=st_faces,
         )
+        u_new, v_new, p_new = proj_out[:3]
 
         frz = lambda new, old: jnp.where(active, new, old)
         new_state = SimState(
@@ -646,6 +725,8 @@ def make_step(
             "syy": syy_s,
             "rho_local": rho_local,
         }
+        if cfg.variable_rho:
+            aux["cg_iters"], aux["cg_relres"] = proj_out[3]
         return new_state, aux
 
     return step

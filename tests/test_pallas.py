@@ -447,3 +447,40 @@ def test_projection_stencil_kernels_match_xla_ops():
     assert np.allclose(np.asarray(sx.u), np.asarray(sp.u), atol=1e-14)
     assert np.allclose(np.asarray(sx.v), np.asarray(sp.v), atol=1e-14)
     assert np.allclose(np.asarray(sx.p), np.asarray(sp.p), atol=1e-13)
+
+
+def test_pallas_full_rk4_nonzero_external_force():
+    """has_ext=True with a NONZERO body force (the buoyancy/gravity and
+    CSF/contact production path) must equal the XLA RK4 to roundoff."""
+    from pyrmt_tpu.bcs import free_slip_box_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
+    from pyrmt_tpu.physics import momentum_core
+
+    N = 64
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.1 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.1 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    p = 0.05 * jnp.cos(jnp.pi * X) * jnp.cos(jnp.pi * Y)
+    phi = jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2
+    H = 0.5 * (1 + jnp.tanh(phi / (2 * g.dx)))
+    one_m = 1.0 - H
+    sxx = one_m * (1.0 + 0.1 * jnp.sin(3 * X))
+    sxy = one_m * 0.05 * jnp.cos(2 * Y)
+    syy = one_m * (1.0 - 0.1 * X * Y)
+    rho = H * 1.0 + one_m * 10.0
+    fx = 0.02 * jnp.sin(jnp.pi * X)       # CSF-shaped
+    fy = (rho - 1.0) * (-1.0)             # buoyancy-shaped
+    mkv = jnp.zeros_like(u)
+    bc = free_slip_box_bc
+    args = dict(dt=1e-3, dx=g.dx, dy=g.dy, mu_f=0.01, eta_s=0.0)
+
+    u_k, v_k = momentum_rk4_pallas(
+        u, v, p, sxx, sxy, syy, H, rho, fx, fy, mkv,
+        bc_spec=bc.kernel_spec, has_ext=True, interpret=True, **args)
+    u_x, v_x = momentum_core(
+        u, v, p, sxx, sxy, syy, H, rho, fx, fy, mkv, bc, **args)
+
+    assert np.allclose(np.asarray(u_k), np.asarray(u_x), atol=1e-13)
+    assert np.allclose(np.asarray(v_k), np.asarray(v_x), atol=1e-13)
