@@ -213,3 +213,112 @@ def test_sharded_bicubic_step_matches_single_device():
     with _pytest.raises(ValueError):
         make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
                           dtype=jnp.float64, rmt_method="pallas")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_two_solid_contact_matches_single_device():
+    """S=2 + pairwise contact on the tightest supported (2,4) mesh: the
+    n-solid mixture blend, the contact force stencils, and the fused kernels
+    (S=2 RMT block per shard) must all partition correctly."""
+    from jax.sharding import Mesh
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=1.0, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    k_rep=2.0, w_c_cells=3.0, num_layers=3, CFL=0.2,
+                    dt_min_cap=1e-3)
+    # overlapping contact bands across shard boundaries
+    phi_inits = (_disc_phi(0.38, 0.5, 0.14), _disc_phi(0.66, 0.5, 0.14))
+
+    step1 = make_step(cfg, free_slip_box_bc, phi_inits, dtype=jnp.float64)
+    state = make_init_state(cfg, phi_inits, dtype=jnp.float64)
+    # give the discs approach velocities so the contact force is nonzero
+    X, Y = g.coords(dtype=jnp.float64)
+    u0 = 0.3 * jnp.tanh((0.52 - X) * 8.0)
+    state = state.__class__(u=u0, v=state.v, p=state.p, X1=state.X1,
+                            X2=state.X2, t=state.t, step=state.step)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("gy", "gx"))
+    from pyrmt_tpu.parallel.sharding import rmt_block_sharded_supported
+
+    assert rmt_block_sharded_supported(mesh, g.Ny, g.Nx, cfg.num_layers, 2)
+    stepN, shard = make_sharded_step(cfg, free_slip_box_bc, phi_inits, mesh,
+                                     dtype=jnp.float64, rmt_method="pallas",
+                                     interpret=True)
+    stepX, _ = make_sharded_step(cfg, free_slip_box_bc, phi_inits, mesh,
+                                 dtype=jnp.float64, rmt_method="xla")
+
+    ref, shp, shx = state, shard(state), shard(state)
+    t_end = jnp.asarray(1.0)
+    for _ in range(2):
+        ref, aux_ref = step1(ref, t_end)
+        shp, _ = stepN(shp, t_end)
+        shx, _ = stepX(shx, t_end)
+
+    for out in (shp, shx):
+        assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-10)
+        assert np.allclose(np.asarray(out.p), np.asarray(ref.p), atol=1e-10)
+        assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-11)
+    # the contact force must actually be active in this configuration
+    phis = np.asarray(aux_ref["phis"])
+    assert (np.abs(phis[0] - phis[1]) * 0.5 < 3 * g.dx)[
+        (phis[0] <= 0) | (phis[1] <= 0)].any()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_variable_rho_matches_single_device():
+    """variable_rho=True (symmetrized while-loop PCG + buoyancy body force)
+    under GSPMD: sharded == single to roundoff over 3 steps."""
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=1.0, rho_s=5.0, mu_f=1e-3, rho_f=1.0,
+                    g_y=-1.0, variable_rho=True, cg_tol=1e-10, CFL=0.2,
+                    dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.5, 0.55, 0.18)
+
+    step1 = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+
+    mesh = make_mesh(jax.devices()[:8])
+    stepN, shard = make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
+                                     dtype=jnp.float64)
+    ref, out = state, shard(state)
+    t_end = jnp.asarray(1.0)
+    for _ in range(3):
+        ref, aux1 = step1(ref, t_end)
+        out, auxN = stepN(out, t_end)
+
+    assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-8)
+    assert np.allclose(np.asarray(out.v), np.asarray(ref.v), atol=1e-8)
+    assert np.allclose(np.asarray(out.p), np.asarray(ref.p), atol=1e-8)
+    # CG observability must agree across the partitioning (same iterates)
+    assert int(auxN["cg_iters"]) == int(aux1["cg_iters"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pallas_long_horizon_matches_single_device():
+    """12-step horizon on the (2,4) mesh shard_map Pallas path: surfaces
+    slow halo-drift / collective-placement bugs the 2-step pins cannot."""
+    from jax.sharding import Mesh
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, mu_f=0.01, rho_f=1.0,
+                    rho_s=1.0, num_layers=3, CFL=0.2, dt_min_cap=1e-3)
+    phi_init = _disc_phi(0.42, 0.58, 0.2)
+
+    step1 = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("gy", "gx"))
+    stepN, shard = make_sharded_step(
+        cfg, free_slip_box_bc, (phi_init,), mesh, dtype=jnp.float64,
+        rmt_method="pallas", interpret=True)
+
+    ref, out = state, shard(state)
+    t_end = jnp.asarray(1.0)
+    for _ in range(12):
+        ref, _ = step1(ref, t_end)
+        out, _ = stepN(out, t_end)
+
+    assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-9)
+    assert np.allclose(np.asarray(out.p), np.asarray(ref.p), atol=1e-9)
+    assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-10)
+    assert np.allclose(np.asarray(out.X2), np.asarray(ref.X2), atol=1e-10)
