@@ -24,7 +24,15 @@ import numpy as np
 
 
 def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
-        dtype="float32", log_every=200, verbose=True):
+        dtype="float32", log_every=200, verbose=True, st_method="csf",
+        kappa_interface=False):
+    """``st_method``: 'csf' (reference-parity cell-centred CSF) or
+    'balanced' (face-sampled balanced-force CSF, physics.balanced_csf_forces);
+    ``kappa_interface`` additionally projects curvature to its nearest-
+    interface value (kappa/(1 - phi*kappa)). Measured at N=64 f64 (see
+    benchmarks/README.md): balanced cuts steady-state parasitic Ca 2.3x and
+    the first-step spurious currents 25x; +kappa_interface cuts the Laplace
+    Delta-p error 6x on top."""
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +44,11 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
     from pyrmt_tpu.ops.poisson import precompute_poisson_eigenvalues
     from pyrmt_tpu.ops.projection import pressure_projection
     from pyrmt_tpu.ops.stress import smoothed_heaviside
-    from pyrmt_tpu.physics import momentum_step_rk4
+    from pyrmt_tpu.physics import (
+        balanced_csf_forces,
+        momentum_step_rk4,
+        momentum_step_rk4_multi,
+    )
 
     if gamma <= 0.0:
         raise ValueError(
@@ -68,14 +80,32 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
     H = smoothed_heaviside(phi, w_t)
     rho_local = (1 - H) * rho_s + H * rho_f
 
-    @jax.jit
-    def st_step(u, v, p):
-        u_star, v_star, *_ = momentum_step_rk4(
-            u, v, p, X1, X2, free_slip_box_bc, 0.0, 0.0, 0.0, dx, dy, dt_cap,
-            rho_s, rho_f, phi, mu_f, w_t, gamma=gamma)
-        return pressure_projection(
-            u_star, v_star, dx, dy, dt_cap, rho_local, free_slip_box_bc,
-            p_prev=p, eigenvalues=eig, bc_type="neumann")
+    if st_method == "balanced":
+        H_stack = smoothed_heaviside(phi[None], w_t)
+        fxc, fyc, Fxf, Fyf = balanced_csf_forces(
+            phi[None], H_stack, dx, dy, gamma, kappa_interface=kappa_interface)
+        st_faces = (Fxf, Fyf, fxc, fyc)
+
+        @jax.jit
+        def st_step(u, v, p):
+            u_star, v_star, *_ = momentum_step_rk4_multi(
+                u, v, p, X1[None], X2[None], phi[None], free_slip_box_bc,
+                mu_s=0.0, kappa=0.0, eta_s=0.0, dx=dx, dy=dy, dt=dt_cap,
+                rho_s=rho_s, rho_f=rho_f, mu_f=mu_f, w_t=w_t, gamma=gamma,
+                ext_override=(fxc, fyc))
+            return pressure_projection(
+                u_star, v_star, dx, dy, dt_cap, rho_local, free_slip_box_bc,
+                p_prev=p, eigenvalues=eig, bc_type="neumann",
+                st_faces=st_faces)
+    else:
+        @jax.jit
+        def st_step(u, v, p):
+            u_star, v_star, *_ = momentum_step_rk4(
+                u, v, p, X1, X2, free_slip_box_bc, 0.0, 0.0, 0.0, dx, dy,
+                dt_cap, rho_s, rho_f, phi, mu_f, w_t, gamma=gamma)
+            return pressure_projection(
+                u_star, v_star, dx, dy, dt_cap, rho_local, free_slip_box_bc,
+                p_prev=p, eigenvalues=eig, bc_type="neumann")
 
     @jax.jit
     def measure(u, v, p):
@@ -102,7 +132,10 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
                       f"(target {target:.5f}) max spurious |u|={float(umax):.3e}")
     wall = time.perf_counter() - t_wall
 
-    out_dir = ensure_dir(os.path.join(out_root, f"surface_tension_drop_N{N}"))
+    suffix = "" if st_method == "csf" else (
+        "_balanced_kstar" if kappa_interface else "_balanced")
+    out_dir = ensure_dir(
+        os.path.join(out_root, f"surface_tension_drop_N{N}{suffix}"))
     log.to_csv(os.path.join(out_dir, "laplace_history.csv"))
     tail = log.array("t", "delta_p", "max_u")[-50:]
     dp_final = float(np.mean(tail[:, 1]))
@@ -122,9 +155,13 @@ if __name__ == "__main__":
     apply_cli_platform()  # consumes --cpu; --f64 sets jax_enable_x64
     import jax
 
-    argv = [a for a in sys.argv[1:] if a != "--f64"]
+    st_method = "balanced" if "--balanced" in sys.argv else "csf"
+    kappa_interface = "--kstar" in sys.argv
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--f64", "--balanced", "--kstar")]
     N = int(argv[0]) if len(argv) > 0 else 128
     gamma = float(argv[1]) if len(argv) > 1 else 0.1
     R = float(argv[2]) if len(argv) > 2 else 0.25
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-    run(N=N, gamma=gamma, R=R, dtype=dtype)
+    run(N=N, gamma=gamma, R=R, dtype=dtype, st_method=st_method,
+        kappa_interface=kappa_interface)

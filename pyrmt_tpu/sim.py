@@ -87,7 +87,13 @@ class RMTConfig:
                                     # physics.balanced_csf_forces). The
                                     # upgrade the reference names as its own
                                     # open follow-up and never implements
-    g_x: float = 0.0                # gravitational acceleration; enters the
+    st_kappa_interface: bool = False  # with st_method='balanced': project
+                                    # each curvature sample to its nearest-
+                                    # interface value kappa/(1 - phi*kappa)
+                                    # (exact for circles under an SDF phi);
+                                    # cuts the static-drop Laplace error ~6x
+                                    # (see physics.balanced_csf_forces)
+    g_x: float = 0.0               # gravitational acceleration; enters the
     g_y: float = 0.0                # momentum RHS as the BUOYANCY body force
                                     # (rho_local - g_rho_ref) * g — the
                                     # uniform rho_ref*g part is absorbed into
@@ -508,7 +514,8 @@ def make_step(
                 H_s = smoothed_heaviside(phis, cfg.w_t)
                 if st_balanced:
                     fxc, fyc, Fxf, Fyf = balanced_csf_forces(
-                        phis, H_s, dx, dy, cfg.gamma)
+                        phis, H_s, dx, dy, cfg.gamma,
+                        kappa_interface=cfg.st_kappa_interface)
                     cfx, cfy = external_forces(
                         phis, H_s, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
                         w_c=cfg.w_c, w_t=cfg.w_t)
@@ -670,7 +677,8 @@ def make_step(
 
             H_st = smoothed_heaviside(phis, cfg.w_t)
             fxc, fyc, Fxf, Fyf = balanced_csf_forces(
-                phis, H_st, dx, dy, cfg.gamma)
+                phis, H_st, dx, dy, cfg.gamma,
+                kappa_interface=cfg.st_kappa_interface)
             cfx, cfy = external_forces(
                 phis, H_st, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
                 w_c=cfg.w_c, w_t=cfg.w_t)

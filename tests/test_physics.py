@@ -160,3 +160,90 @@ def test_three_solid_momentum_step_generalizes():
     assert np.allclose(rho[far], 1.0, atol=1e-12)
     inside0 = np.asarray(phis[0]) < -4 * dx
     assert np.allclose(rho[inside0], 2.0, atol=1e-12)
+
+
+def test_balanced_csf_exact_discrete_equilibrium():
+    """The balanced-force property (physics.balanced_csf_forces docstring):
+    for a FACE-CONSTANT curvature the discrete equilibrium
+    p* = -gamma*kappa*H (+ const), u = 0 is an EXACT fixed point of the
+    full momentum + Rhie-Chow projection step — the face pressure jump
+    cancels the face capillary force identically, so the velocity stays at
+    machine zero and the pressure is unchanged. The cell-centred CSF has no
+    such equilibrium (its wide-stencil force is not a discrete face
+    gradient): the same one-step experiment from its best-fit pressure
+    leaves O(1e-4) spurious currents."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.bcs import free_slip_box_bc
+    from pyrmt_tpu.ops.poisson import precompute_poisson_eigenvalues
+    from pyrmt_tpu.ops.projection import pressure_projection
+    from pyrmt_tpu.ops.stress import smoothed_heaviside
+    from pyrmt_tpu.physics import balanced_csf_forces, momentum_step_rk4_multi
+
+    N, gamma, R = 64, 0.1, 0.25
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    phi = jnp.asarray(_disc(np.asarray(X), np.asarray(Y), 0.5, 0.5, R))
+    phis = phi[None]
+    w_t = 2.0 * dx
+    H_s = smoothed_heaviside(phis, w_t)
+    kap0 = 1.0 / R
+    kap_const = jnp.full((1, N, N), kap0)      # face-constant curvature
+    fxc, fyc, Fxf, Fyf = balanced_csf_forces(
+        phis, H_s, dx, dy, gamma, kappas=kap_const)
+    eig = precompute_poisson_eigenvalues(N, N, dx, dy)
+    rho_local = jnp.ones((N, N), jnp.float64)
+    # the exact discrete equilibrium: (p_E - p_C)/dx == Fx_face on every face
+    p_eq = -gamma * kap0 * H_s[0]
+    p_eq = p_eq - jnp.mean(p_eq)
+    u = jnp.zeros((N, N), jnp.float64)
+    v = jnp.zeros_like(u)
+    dt = 1e-3
+    u_star, v_star, *_ = momentum_step_rk4_multi(
+        u, v, p_eq, X[None], Y[None], phis, free_slip_box_bc,
+        mu_s=0.0, kappa=0.0, eta_s=0.0, dx=dx, dy=dy, dt=dt,
+        rho_s=1.0, rho_f=1.0, mu_f=0.01, w_t=w_t, gamma=gamma,
+        ext_override=(fxc, fyc))
+    assert float(jnp.max(jnp.abs(u_star))) < 1e-13   # momentum is balanced
+    assert float(jnp.max(jnp.abs(v_star))) < 1e-13
+    un, vn, pn = pressure_projection(
+        u_star, v_star, dx, dy, dt, rho_local, free_slip_box_bc,
+        p_prev=p_eq, eigenvalues=eig, bc_type="neumann",
+        st_faces=(Fxf, Fyf, fxc, fyc))
+    umax = float(jnp.max(jnp.hypot(un, vn)))
+    assert umax < 1e-12, umax                        # RC corrector too
+    assert float(jnp.max(jnp.abs(pn - p_eq))) < 1e-11
+    # and the equilibrium pressure jump is the Laplace value gamma/R
+    inside = np.asarray(phi) < -2 * w_t
+    outside = np.asarray(phi) > 2 * w_t
+    dp = float(np.asarray(pn)[inside].mean() - np.asarray(pn)[outside].mean())
+    assert abs(dp - gamma / R) / (gamma / R) < 1e-12
+
+
+def test_kappa_interface_projection_exact_for_circle():
+    """kappa_interface=True projects the band curvature 1/(R+phi) to the
+    interface value 1/R (exact for an SDF circle): the face curvature used
+    in the force must collapse to ~1/R across the whole band."""
+    import jax.numpy as jnp
+
+    from pyrmt_tpu.ops.levelset import compute_curvature
+    from pyrmt_tpu.ops.stress import smoothed_heaviside
+    from pyrmt_tpu.physics import balanced_csf_forces
+
+    N, R = 96, 0.25
+    X, Y, dx, dy = create_grid(N, N, 1.0, 1.0, dtype=np.float64)
+    phi = jnp.asarray(_disc(np.asarray(X), np.asarray(Y), 0.5, 0.5, R))
+    w_t = 2.0 * dx
+    H_s = smoothed_heaviside(phi[None], w_t)
+    gamma = 0.1
+    # recover the effective curvature from the force: F = -gamma*k_f*dH/dx
+    _, _, Fx_raw, _ = balanced_csf_forces(phi[None], H_s, dx, dy, gamma)
+    _, _, Fx_star, _ = balanced_csf_forces(phi[None], H_s, dx, dy, gamma,
+                                           kappa_interface=True)
+    dH = (H_s[0][:, 1:] - H_s[0][:, :-1]) / dx
+    m = np.abs(np.asarray(dH)) > 1.0     # active faces
+    k_raw = -np.asarray(Fx_raw)[m] / (gamma * np.asarray(dH)[m])
+    k_star = -np.asarray(Fx_star)[m] / (gamma * np.asarray(dH)[m])
+    # raw curvature spans the band spread ~ w_t/R^2; projected collapses
+    assert np.ptp(k_star) < 0.25 * np.ptp(k_raw)
+    assert abs(np.mean(k_star) - 1.0 / R) < abs(np.mean(k_raw) - 1.0 / R)
+    assert abs(np.mean(k_star) - 1.0 / R) < 0.05 / R
