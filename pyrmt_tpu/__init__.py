@@ -60,9 +60,12 @@ from pyrmt_tpu.ops.poisson import (
     precompute_poisson_eigenvalues_periodic,
     solve_poisson_dct,
     solve_poisson_fft,
+    solve_variable_poisson_cg,
+    solve_variable_poisson_cg_counted,
 )
 from pyrmt_tpu.ops.projection import pressure_projection
 from pyrmt_tpu.physics import (
+    balanced_csf_forces,
     compute_timestep,
     momentum_step_rk4,
     momentum_step_rk4_2solids,
