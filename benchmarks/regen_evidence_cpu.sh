@@ -147,4 +147,47 @@ run(scheme="semilagrangian", grids=(32, 64, 128, 256), N_ref=512,
     dtype="float64", stress_band=True, num_layers=4, cache=True)
 EOF
 
+# ---- 9. Round-3 additions: balanced CSF, density contrast, coupled drop ----
+run_py st_drop_modes_f64.log <<'PYEOF'
+import sys; sys.argv += ["--cpu", "--f64"]
+from benchmarks.common import apply_cli_platform; apply_cli_platform()
+import benchmarks.surface_tension_drop as st
+print("### csf (reference parity) N=64 f64")
+st.run(N=64, gamma=0.1, R=0.25, dtype="float64")
+print("### balanced N=64 f64")
+st.run(N=64, gamma=0.1, R=0.25, dtype="float64", st_method="balanced")
+print("### balanced + kappa_interface N=64 f64")
+st.run(N=64, gamma=0.1, R=0.25, dtype="float64", st_method="balanced",
+       kappa_interface=True)
+PYEOF
+
+run_py density_contrast_N128_f64.log <<'PYEOF'
+import sys; sys.argv += ["--cpu", "--f64"]
+from benchmarks.common import apply_cli_platform; apply_cli_platform()
+import benchmarks.density_contrast_disc as dc
+dc.run(N=128, rho_ratio=10.0, dtype="float64")
+PYEOF
+
+run_py capillary_drop_N128_f64.log <<'PYEOF'
+import sys; sys.argv += ["--cpu", "--f64"]
+from benchmarks.common import apply_cli_platform; apply_cli_platform()
+import benchmarks.capillary_drop_coupled as cd
+for kw in (dict(st_method="balanced"), dict(st_method="balanced", kappa_interface=True),
+           dict(st_method="csf")):
+    print(f"### {kw} N=128 f64", flush=True)
+    cd.run(N=128, dtype="float64", **kw)
+PYEOF
+
+# ---- 10. Upstream arbitration reruns (the reference's own code) -------------
+stamp "upstream rerun: two-disc contact"
+python benchmarks/upstream_rerun/run_contact.py 1.5 \
+  > outputs/logs/contact_N64_upstream_rerun.log 2>&1
+stamp "done: contact_N64_upstream_rerun.log (exit $?)"
+stamp "upstream rerun: convergence default + band (hours)"
+python benchmarks/upstream_rerun/run_convergence.py default \
+  > outputs/logs/upstream_conv_default.log 2>&1
+python benchmarks/upstream_rerun/run_convergence.py band \
+  > outputs/logs/upstream_conv_band.log 2>&1
+stamp "done: upstream_conv_{default,band}.log"
+
 stamp "ALL DONE"

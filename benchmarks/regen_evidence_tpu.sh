@@ -27,4 +27,7 @@ go tg_N128_tpu.log          python benchmarks/disc_in_taylor_green.py 128 semila
 go contact_N64_tpu.log      python benchmarks/two_disc_contact.py 64 1.5 0.15 2.0
 go tg_collision_N128_tpu.log python benchmarks/two_disc_tg_collision.py 128 2.0
 
+go st_drop_balanced_tpu.log python benchmarks/surface_tension_drop.py 64 0.1 0.25 --balanced --kstar
+go density_contrast_N128_tpu.log python benchmarks/density_contrast_disc.py 128 10
+
 stamp "ALL DONE"
