@@ -60,7 +60,8 @@ def make_ellipse_phi_init(x0, y0, a, b):
 
 def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
         t_end=4.5, out_root="outputs", dtype="float32", log_every=100,
-        st_method="balanced", kappa_interface=False, verbose=True):
+        st_method="balanced", kappa_interface=False, verbose=True,
+        cfg_overrides=None, tag=""):
     import jax
     import jax.numpy as jnp
 
@@ -83,6 +84,10 @@ def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
         scheme="semilagrangian", bc_type="neumann",
         num_layers=3, CFL=0.4, dt_min_cap=1e-3,
     )
+    if cfg_overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=dt_)
     state = make_init_state(cfg, (phi_init,), dtype=dt_)
     t_end_j = jnp.asarray(t_end, dt_)
@@ -140,6 +145,8 @@ def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
     suffix = "" if st_method == "balanced" else f"_{st_method}"
     if kappa_interface:
         suffix += "_kstar"
+    if tag:
+        suffix += f"_{tag}"
     out_dir = ensure_dir(os.path.join(out_root, f"capillary_drop_N{N}{suffix}"))
     log.to_csv(os.path.join(out_dir, "oscillation.csv"))
 
