@@ -168,14 +168,21 @@ class RMTConfig:
     dct_method: str = "auto"        # 'fft' | 'matmul' | 'matmul_rec' (odd N,
     # recursive fold — fewest MXU FLOPs on 2^k+1 grids) | 'auto' (matmul on TPU)
     dct_precision: str = "auto"     # MXU matmul precision of the DCT solves
-                                    # ('auto' | 'highest' | 'high'). 'high'
-                                    # (3-pass bf16) halves the DCT's MXU
-                                    # time; its solution difference is
-                                    # ~1e-8 absolute on the headline solve —
-                                    # below the f32 roundoff of the pressure
-                                    # field, and re-validated against every
-                                    # recorded f32 TPU metric
-                                    # (benchmarks/README.md). 'auto' = high
+                                    # ('auto' | 'highest' | 'high' |
+                                    # 'default'). 'default' (single-pass
+                                    # bf16) runs the DCT matmuls ~2.5x
+                                    # faster than HIGHEST; its per-solve
+                                    # error (3.8e-3 relative at N=4096) is
+                                    # absorbed by the incremental
+                                    # projection's step-to-step feedback —
+                                    # re-validated round 3 against EVERY
+                                    # recorded f32 TPU metric: soft-disc
+                                    # Sugiyama dev 0.0052 (identical),
+                                    # contact gap/minJ 0.349/0.687, TG
+                                    # drift -2.93%, Ghia Re=1000 2.244e-2
+                                    # vs gate 2.8e-2
+                                    # (outputs/logs/dct_default_*.log,
+                                    # docs/DESIGN.md #6). 'auto' = default
                                     # on TPU, highest elsewhere; set
                                     # 'highest' to recover the exact
                                     # FFT-parity transform (always the case
@@ -244,13 +251,13 @@ def _resolve_dct_mats(method: str, Nx: int, Ny: int, dtype):
 
 
 def _resolve_dct_precision(name: str) -> str | None:
-    """'auto' -> 'high' on TPU (re-validated against every recorded f32
+    """'auto' -> 'default' on TPU (re-validated against every recorded f32
     metric, see RMTConfig.dct_precision), 'highest' elsewhere (the exact
     FFT-parity transform; precision is a no-op on CPU anyway)."""
     if name == "auto":
         import jax
 
-        return "high" if jax.default_backend() == "tpu" else "highest"
+        return "default" if jax.default_backend() == "tpu" else "highest"
     return name
 
 
