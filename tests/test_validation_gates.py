@@ -68,3 +68,18 @@ def test_gate_density_contrast_sinks_with_bounded_cg():
     # interface. Measured 0.06 of the umax/dx scale; the constant-rho DCT
     # path sits at ~0.26 on a comparable flow, so gate well under that.
     assert s["max_div_rel"] < 0.2, s["max_div_rel"]
+
+
+def test_gate_sedimentation_pack_small():
+    """n-solid machinery gate: a 3-disc pack settles without pass-through,
+    with bounded CG and conserved areas (S*(S-1)/2 contact pairs + the
+    variable-density projection in one config)."""
+    from benchmarks.sedimentation_pack import run
+
+    rows, s = run(N=48, S=3, R=0.1, t_end=0.25, dtype="float64",
+                  verbose=False, out_root="/tmp/gate_outputs")
+    assert s["stable"]
+    assert s["no_passthrough"], (s["dmin"], s["gap_floor"])
+    assert s["ybar_monotone"]
+    assert s["cg_iters_max"] < 100
+    assert s["area_drift"] < 0.05
