@@ -289,3 +289,27 @@ def test_gravity_buoyancy_direction(rho_s, sign):
     # the counted CG ran and converged (aux observability contract)
     assert 0 < int(aux["cg_iters"]) < 100
     assert float(aux["cg_relres"]) <= cfg.cg_tol
+
+
+def test_balanced_csf_composes_with_variable_rho():
+    """Rising light drop WITH surface tension: st_method='balanced' and
+    variable_rho=True together (the face capillary forces enter the
+    Rhie-Chow corrector whose face coefficients are the variable dt/rho) —
+    the two-phase composition the classic rising-bubble benchmarks use."""
+    g = Grid(Nx=48, Ny=48, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=1e-3, rho_s=0.2, mu_f=5e-3, rho_f=1.0,
+                    g_y=-1.0, gamma=0.05, st_method="balanced",
+                    st_kappa_interface=True, variable_rho=True, CFL=0.2,
+                    dt_min_cap=1e-3, cg_tol=1e-8)
+    phi_init = _disc_phi(0.5, 0.4, 0.15)
+    step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    aux = None
+    for _ in range(5):
+        state, aux = step(state, jnp.asarray(10.0))
+    assert not bool(diverged(state))
+    w = (aux["phis"][0] <= 0.0).astype(jnp.float64)
+    vbar = float(jnp.sum(w * state.v) / jnp.sum(w))
+    assert vbar > 1e-6                      # light drop rises
+    assert 0 < int(aux["cg_iters"]) < 100   # PCG healthy with st_faces on
+    assert float(aux["cg_relres"]) <= cfg.cg_tol
