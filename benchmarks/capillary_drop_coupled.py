@@ -205,7 +205,20 @@ if __name__ == "__main__":
 
     st_method = "csf" if "--csf" in sys.argv else "balanced"
     kstar = "--kstar" in sys.argv
+    overrides = {}
+    tag = ""
+    if "--hf" in sys.argv:
+        overrides["st_curvature"] = "hf"
+        tag = "hf"
+    if "--reinit" in sys.argv:
+        overrides["reinit_method"] = "fmm"
+        tag = (tag + "_reinit") if tag else "reinit"
+    for a in sys.argv[1:]:
+        if a.startswith("--tend="):
+            overrides["_tend"] = float(a.split("=", 1)[1])
+    t_end = overrides.pop("_tend", 4.5)
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(argv[0]) if len(argv) > 0 else 128
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-    run(N=N, st_method=st_method, kappa_interface=kstar, dtype=dtype)
+    run(N=N, st_method=st_method, kappa_interface=kstar, dtype=dtype,
+        t_end=t_end, cfg_overrides=overrides or None, tag=tag)

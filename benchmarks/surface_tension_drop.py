@@ -25,7 +25,7 @@ import numpy as np
 
 def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
         dtype="float32", log_every=200, verbose=True, st_method="csf",
-        kappa_interface=False):
+        kappa_interface=False, curvature="fd"):
     """``st_method``: 'csf' (reference-parity cell-centred CSF) or
     'balanced' (face-sampled balanced-force CSF, physics.balanced_csf_forces);
     ``kappa_interface`` additionally projects curvature to its nearest-
@@ -83,7 +83,8 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
     if st_method == "balanced":
         H_stack = smoothed_heaviside(phi[None], w_t)
         fxc, fyc, Fxf, Fyf = balanced_csf_forces(
-            phi[None], H_stack, dx, dy, gamma, kappa_interface=kappa_interface)
+            phi[None], H_stack, dx, dy, gamma, kappa_interface=kappa_interface,
+            curvature=curvature, w_t=w_t)
         st_faces = (Fxf, Fyf, fxc, fyc)
 
         @jax.jit
@@ -134,6 +135,8 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
 
     suffix = "" if st_method == "csf" else (
         "_balanced_kstar" if kappa_interface else "_balanced")
+    if curvature != "fd":
+        suffix += f"_{curvature}"
     out_dir = ensure_dir(
         os.path.join(out_root, f"surface_tension_drop_N{N}{suffix}"))
     log.to_csv(os.path.join(out_dir, "laplace_history.csv"))
@@ -157,11 +160,12 @@ if __name__ == "__main__":
 
     st_method = "balanced" if "--balanced" in sys.argv else "csf"
     kappa_interface = "--kstar" in sys.argv
+    curvature = "hf" if "--hf" in sys.argv else "fd"
     argv = [a for a in sys.argv[1:]
-            if a not in ("--f64", "--balanced", "--kstar")]
+            if a not in ("--f64", "--balanced", "--kstar", "--hf")]
     N = int(argv[0]) if len(argv) > 0 else 128
     gamma = float(argv[1]) if len(argv) > 1 else 0.1
     R = float(argv[2]) if len(argv) > 2 else 0.25
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     run(N=N, gamma=gamma, R=R, dtype=dtype, st_method=st_method,
-        kappa_interface=kappa_interface)
+        kappa_interface=kappa_interface, curvature=curvature)

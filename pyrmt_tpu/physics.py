@@ -98,7 +98,31 @@ def velocity_rhs_blended(
     return rhs_u, rhs_v
 
 
-def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t):
+def _solid_curvature(phi, dx, dy, w_t, curvature, kappa_interface):
+    """One solid's curvature field under the configured estimator cascade:
+    finite-difference div(grad phi/|grad phi|) (reference parity), optionally
+    interface-projected (kappa* — see balanced_csf_forces), optionally
+    replaced by the height-function estimate where its columns are valid
+    (ops/levelset.py:compute_curvature_hf; the fd/kappa* value is its
+    fallback)."""
+    import numpy as np
+
+    kap = compute_curvature(phi, dx, dy)
+    if kappa_interface:
+        den = 1.0 - phi * kap
+        den = jnp.where(den >= 0.0, jnp.maximum(den, 0.25),
+                        jnp.minimum(den, -0.25))
+        kap = kap / den
+    if curvature == "hf":
+        from pyrmt_tpu.ops.levelset import compute_curvature_hf
+
+        hh = max(3, int(np.ceil(np.sqrt(2.0) * w_t / min(dx, dy))) + 2)
+        kap = compute_curvature_hf(phi, dx, dy, hh, kap)
+    return kap
+
+
+def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t,
+                    curvature="fd", kappa_interface=False):
     """CSF surface tension + pairwise repulsive contact, constant over the
     RK4 stages (parity: pyRMT/functions.py:621-628 and :785-816)."""
     S = phis.shape[0]
@@ -107,7 +131,8 @@ def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t):
     f_ext_y = jnp.zeros(shape, phis.dtype)
     if gamma > 1e-12:
         for i in range(S):
-            kap = compute_curvature(phis[i], dx, dy)
+            kap = _solid_curvature(phis[i], dx, dy, w_t, curvature,
+                                   kappa_interface)
             dH_dx = grad_central_x_2nd(H_s[i], dx)
             dH_dy = grad_central_y_2nd(H_s[i], dy)
             f_ext_x = f_ext_x - gamma * kap * dH_dx
@@ -123,7 +148,7 @@ def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t):
 
 
 def balanced_csf_forces(phis, H_s, dx, dy, gamma, kappas=None,
-                        kappa_interface=False):
+                        kappa_interface=False, curvature="fd", w_t=None):
     """Balanced-force CSF (Francois et al. 2006 adapted to this collocated
     Rhie-Chow scheme): the capillary force is sampled COMPACTLY at faces
     with the same discrete gradient the face pressure jump uses,
@@ -143,14 +168,29 @@ def balanced_csf_forces(phis, H_s, dx, dy, gamma, kappas=None,
     tension caveat) and never implements.
 
     ``kappa_interface=True`` additionally projects each curvature sample to
-    its value at the NEAREST INTERFACE POINT, kappa* = kappa/(1 - phi*kappa)
-    — exact for a circle when phi is a signed distance (the band value
-    1/(R+phi) maps to 1/R), a standard CSF accuracy fix: the band-varying
-    1/(R+phi) otherwise biases the integrated pressure jump by
-    O(w_t/R). Measured on the static N=64 drop it cuts the Laplace
-    Delta-p error ~6x (0.38% -> 0.06%); the denominator is clamped away
-    from 0 (|den| >= 0.25) so a non-SDF phi far from the interface cannot
-    blow it up (the force weight grad-H is zero there anyway).
+    its value at the NEAREST INTERFACE POINT, kappa* = kappa/(1 - phi*kappa).
+    When phi is a true signed-distance field this is exact for ANY smooth
+    interface, not just circles: the level curve through a point at offset n
+    from the front has curvature kappa_0/(1 + n*kappa_0) (parallel-curve
+    identity), and div(grad phi/|grad phi|) IS that level-curve curvature,
+    so inverting the identity recovers the front value kappa_0 exactly (up
+    to the 2nd-order stencils); only where phi deviates from an SDF (a
+    distorted rebuilt map far from the interface) does it degrade. It fixes
+    the standard CSF band bias — the raw 1/(R + phi) variation otherwise
+    biases the integrated pressure jump by O(w_t/R). Measured on the static
+    N=64 drop it cuts the Laplace Delta-p error ~6x (0.38% -> 0.06%); the
+    denominator is clamped away from 0 (|den| >= 0.25) so a non-SDF phi far
+    from the interface cannot blow it up (the force weight grad-H is zero
+    there anyway).
+
+    ``curvature='hf'`` (requires ``w_t``) swaps the estimator for the
+    height-function cascade (ops/levelset.py:compute_curvature_hf) with the
+    fd/kappa* value as its per-cell fallback — the "better curvature
+    estimate" branch of the reference's own named follow-up. It trades the
+    SDF assumption for a sharp-fraction reconstruction that only needs
+    phi's zero set, at the cost of a larger flat error on well-resolved
+    smooth interfaces (see the measured comparison in
+    benchmarks/README.md).
 
     Returns (fx_cell, fy_cell, Fx_face, Fy_face) with faces shaped
     (Ny, Nx-1) / (Ny-1, Nx). ``kappas`` (optional, (S, Ny, Nx)) overrides
@@ -161,12 +201,16 @@ def balanced_csf_forces(phis, H_s, dx, dy, gamma, kappas=None,
     Fx = jnp.zeros((shape[0], shape[1] - 1), phis.dtype)
     Fy = jnp.zeros((shape[0] - 1, shape[1]), phis.dtype)
     for i in range(S):
-        kap = compute_curvature(phis[i], dx, dy) if kappas is None else kappas[i]
-        if kappa_interface:
-            den = 1.0 - phis[i] * kap
-            den = jnp.where(den >= 0.0, jnp.maximum(den, 0.25),
-                            jnp.minimum(den, -0.25))
-            kap = kap / den
+        if kappas is not None:
+            kap = kappas[i]
+            if kappa_interface:
+                den = 1.0 - phis[i] * kap
+                den = jnp.where(den >= 0.0, jnp.maximum(den, 0.25),
+                                jnp.minimum(den, -0.25))
+                kap = kap / den
+        else:
+            kap = _solid_curvature(phis[i], dx, dy, w_t, curvature,
+                                   kappa_interface)
         kx_f = 0.5 * (kap[:, :-1] + kap[:, 1:])
         ky_f = 0.5 * (kap[:-1, :] + kap[1:, :])
         Fx = Fx - gamma * kx_f * (H_s[i][:, 1:] - H_s[i][:, :-1]) / dx
@@ -185,6 +229,7 @@ def momentum_step_rk4_multi(
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
     g_x=0.0, g_y=0.0, g_rho_ref=None, ext_override=None,
+    st_curvature="fd", st_kappa_interface=False,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
     pallas_rk4_kwargs=None,
 ):
@@ -220,7 +265,8 @@ def momentum_step_rk4_multi(
         f_ext_x, f_ext_y = ext_override
     else:
         f_ext_x, f_ext_y = external_forces(
-            phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t)
+            phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t,
+            curvature=st_curvature, kappa_interface=st_kappa_interface)
     if g_x != 0.0 or g_y != 0.0:
         drho = rho_local - (rho_f if g_rho_ref is None else g_rho_ref)
         f_ext_x = f_ext_x + drho * g_x

@@ -90,9 +90,23 @@ class RMTConfig:
     st_kappa_interface: bool = False  # with st_method='balanced': project
                                     # each curvature sample to its nearest-
                                     # interface value kappa/(1 - phi*kappa)
-                                    # (exact for circles under an SDF phi);
+                                    # (exact for ANY smooth interface under
+                                    # an SDF phi — parallel-curve identity);
                                     # cuts the static-drop Laplace error ~6x
                                     # (see physics.balanced_csf_forces)
+    st_curvature: str = "fd"        # curvature estimator for the CSF
+                                    # forces: 'fd' = div(grad phi/|grad phi|)
+                                    # (reference parity; combine with
+                                    # st_kappa_interface for the interface-
+                                    # projected kappa*), 'hf' = VOF-style
+                                    # height functions over sharp solid
+                                    # fractions reconstructed from phi
+                                    # (ops/levelset.py:compute_curvature_hf;
+                                    # falls back to fd/kappa* per cell where
+                                    # its columns are invalid). Beyond
+                                    # reference — the "better curvature
+                                    # estimate" the reference names as its
+                                    # open follow-up
     g_x: float = 0.0               # gravitational acceleration; enters the
     g_y: float = 0.0                # momentum RHS as the BUOYANCY body force
                                     # (rho_local - g_rho_ref) * g — the
@@ -356,6 +370,8 @@ def make_step(
     g_rho_ref = cfg.rho_f if cfg.g_rho_ref is None else cfg.g_rho_ref
     if cfg.st_method not in ("csf", "balanced"):
         raise ValueError(f"unknown st_method {cfg.st_method!r}")
+    if cfg.st_curvature not in ("fd", "hf"):
+        raise ValueError(f"unknown st_curvature {cfg.st_curvature!r}")
     st_balanced = cfg.st_method == "balanced" and cfg.gamma > 1e-12
     if st_balanced and cfg.bc_type != "neumann":
         raise ValueError(
@@ -522,7 +538,8 @@ def make_step(
                 if st_balanced:
                     fxc, fyc, Fxf, Fyf = balanced_csf_forces(
                         phis, H_s, dx, dy, cfg.gamma,
-                        kappa_interface=cfg.st_kappa_interface)
+                        kappa_interface=cfg.st_kappa_interface,
+                        curvature=cfg.st_curvature, w_t=cfg.w_t)
                     cfx, cfy = external_forces(
                         phis, H_s, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
                         w_c=cfg.w_c, w_t=cfg.w_t)
@@ -532,7 +549,9 @@ def make_step(
                 else:
                     f_ext_x, f_ext_y = external_forces(
                         phis, H_s, dx, dy, gamma=cfg.gamma, k_rep=cfg.k_rep,
-                        w_c=cfg.w_c, w_t=cfg.w_t)
+                        w_c=cfg.w_c, w_t=cfg.w_t,
+                        curvature=cfg.st_curvature,
+                        kappa_interface=cfg.st_kappa_interface)
             else:
                 f_ext_x = jnp.zeros(g.shape, dtype)
                 f_ext_y = f_ext_x
@@ -685,7 +704,8 @@ def make_step(
             H_st = smoothed_heaviside(phis, cfg.w_t)
             fxc, fyc, Fxf, Fyf = balanced_csf_forces(
                 phis, H_st, dx, dy, cfg.gamma,
-                kappa_interface=cfg.st_kappa_interface)
+                kappa_interface=cfg.st_kappa_interface,
+                curvature=cfg.st_curvature, w_t=cfg.w_t)
             cfx, cfy = external_forces(
                 phis, H_st, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
                 w_c=cfg.w_c, w_t=cfg.w_t)
@@ -699,6 +719,8 @@ def make_step(
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
             g_x=cfg.g_x, g_y=cfg.g_y, g_rho_ref=g_rho_ref,
             ext_override=ext_override,
+            st_curvature=cfg.st_curvature,
+            st_kappa_interface=cfg.st_kappa_interface,
             use_pallas_rhs=cfg.use_pallas_rhs, use_pallas_rk4=use_pallas_rk4,
             pallas_rk4_fn=momentum_rk4_impl,
             pallas_rk4_kwargs=(
