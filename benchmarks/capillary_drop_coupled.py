@@ -213,6 +213,12 @@ if __name__ == "__main__":
     if "--reinit" in sys.argv:
         overrides["reinit_method"] = "fmm"
         tag = (tag + "_reinit") if tag else "reinit"
+    if "--areafix" in sys.argv:
+        overrides["phi_area_fix"] = True
+        tag = (tag + "_areafix") if tag else "areafix"
+    if "--bicubic" in sys.argv:
+        overrides["sl_interp"] = "bicubic"
+        tag = (tag + "_bicubic") if tag else "bicubic"
     for a in sys.argv[1:]:
         if a.startswith("--tend="):
             overrides["_tend"] = float(a.split("=", 1)[1])

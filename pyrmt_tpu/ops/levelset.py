@@ -166,6 +166,56 @@ def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback):
     return jnp.clip(kap, -cap, cap)
 
 
+def smoothed_solid_area(phi, dx, dy, w_t):
+    """Smoothed solid (phi < 0) area  A = sum(1 - H_{w_t}(phi)) dx dy  with
+    the same cosine-smoothed Heaviside profile the mixture blending uses
+    (ops/stress.py:smoothed_heaviside; parity: pyRMT/functions.py:581-592)."""
+    x = phi / w_t
+    H = 0.5 * (1.0 + x + jnp.sin(jnp.pi * x) / jnp.pi)
+    H = jnp.where(x > 1.0, 1.0, jnp.where(x < -1.0, 0.0, H))
+    return jnp.sum(1.0 - H) * (dx * dy)
+
+
+def area_conserving_shift(phi, dx, dy, w_t, area_target, n_newton=2):
+    """Constant-shift level-set mass fix (BEYOND REFERENCE): return
+    ``phi + c`` with the scalar ``c`` chosen so the smoothed solid area
+    equals ``area_target``.
+
+    The advected/rebuilt reference map accumulates interpolation error that
+    slowly inflates (or deflates) the area enclosed by phi's zero set —
+    measured as the mechanism that ends the long-horizon coupled capillary
+    case (benchmarks/README.md: steady area inflation, curvature-estimator
+    independent). The standard level-set remedy (global constant shift,
+    cf. Sussman-Fatemi volume constraint) solves A(phi + c) = A0 by Newton:
+
+        c_{k+1} = c_k + (A(c_k) - A0) / P(c_k),   P = sum H'(phi + c) dx dy
+
+    where H' is the smoothed delta; P approximates the interface perimeter
+    for an SDF-like phi, so each iteration is the exact first-order
+    area-to-normal-displacement map. Per-step drift is O(dt) tiny, hence
+    ``n_newton=2`` (static unroll) converges to roundoff. All-reduction ops
+    only — under GSPMD the partitioner turns the sums into psums, so the
+    sharded step needs no special handling. When the interface has
+    vanished (P ~ 0) the shift is forced to 0 rather than dividing by
+    noise.
+    """
+    c = jnp.asarray(0.0, phi.dtype)
+    cell = dx * dy
+    p_floor = jnp.asarray(1e-8, phi.dtype)
+    for _ in range(n_newton):
+        x = (phi + c) / w_t
+        H = 0.5 * (1.0 + x + jnp.sin(jnp.pi * x) / jnp.pi)
+        H = jnp.where(x > 1.0, 1.0, jnp.where(x < -1.0, 0.0, H))
+        area = jnp.sum(1.0 - H) * cell
+        dH = jnp.where(
+            jnp.abs(x) < 1.0, (0.5 / w_t) * (1.0 + jnp.cos(jnp.pi * x)), 0.0)
+        perim = jnp.sum(dH) * cell
+        ok = perim > p_floor
+        c = c + jnp.where(ok, (area - area_target) / jnp.maximum(perim, p_floor),
+                          0.0)
+    return phi + c
+
+
 def reinitialize_phi_PDE(
     phi_in, dx, dy, num_iters, apply_phi_BCs_func=None, dt_reinit_factor=0.5
 ):

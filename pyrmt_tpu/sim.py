@@ -57,6 +57,10 @@ class SimState:
     X2: jax.Array          # (S, Ny, Nx) reference-map y-components
     t: jax.Array           # scalar time
     step: jax.Array        # int32 step counter
+    phis0: jax.Array = None  # (S, Ny, Nx) base level sets sampled by the
+                             # interp rebuild when map rebasing is enabled
+                             # (map_rebase_minj > 0); shape (0, Ny, Nx)
+                             # otherwise so the pytree stays uniform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +132,34 @@ class RMTConfig:
     bc_type: str = "neumann"        # 'neumann' | 'periodic'
     reinit_method: str = "none"     # 'none' | 'pde' | 'fmm'
     reinit_iters: int = 20
+    map_rebase_minj: float = 0.0    # > 0 enables in-graph reference-map
+                                    # REBASING (Kamrin-Nave-style remapping
+                                    # for fluid-like solids, BEYOND
+                                    # REFERENCE): when min J drops below
+                                    # this threshold the map is reset to
+                                    # the identity, the current level set
+                                    # (redistanced by fast sweeping) becomes
+                                    # the new base phi0 carried in
+                                    # SimState.phis0, and the rebuild
+                                    # switches from the analytic phi_init
+                                    # closures to bilinear sampling of
+                                    # phis0 at the map. Resets the elastic
+                                    # reference state — intended for
+                                    # near-fluid solids (mu_s ~ 0) where
+                                    # the map is an interface tracker;
+                                    # kills the secular interior map
+                                    # distortion that otherwise folds the
+                                    # map under sustained large deformation
+                                    # (benchmarks/README.md capillary row)
+    phi_area_fix: bool = False      # per-solid constant-shift level-set
+                                    # mass fix after the rebuild(+reinit):
+                                    # phi_i += c_i with c_i solved (2 Newton
+                                    # steps) so the smoothed solid area
+                                    # stays at its t=0 value — kills the
+                                    # slow advection-error area drift that
+                                    # ends the long-horizon coupled
+                                    # capillary case (beyond reference; see
+                                    # ops/levelset.py:area_conserving_shift)
     stress_band: bool = False
     detg_clamp: float = 3.0
     two_solid_clamp: float = 4.0    # legacy-mode clamp used when S >= 2
@@ -298,7 +330,12 @@ def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
     """Config-level conditions under which the fused RMT-block kernel can
     replace the advect→extrapolate→rebuild→stress block (any impl, incl.
     the sharded one): semi-Lagrangian gather-free advection with a sub-cell
-    (CFL < 1) backtrace and no level-set reinitialisation."""
+    (CFL < 1) backtrace and no level-set post-processing (reinitialisation
+    or the area-conserving shift): both rewrite phi AFTER the rebuild the
+    kernel performs internally, which would desync the kernel's own
+    phi-derived blends (Hf, rho_local, banded stress). Map rebasing also
+    opts out: its rebuild samples SimState.phis0 instead of the analytic
+    closures the kernel bakes in."""
     return (
         S >= 1
         and cfg.scheme == "semilagrangian"
@@ -306,6 +343,8 @@ def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
         and cfg.sl_interp == "bilinear"
         and cfg.CFL < 1.0
         and cfg.reinit_method == "none"
+        and not cfg.phi_area_fix
+        and cfg.map_rebase_minj == 0.0
     )
 
 
@@ -472,10 +511,42 @@ def make_step(
     else:
         raise ValueError(f"unknown extrap_method {cfg.extrap_method!r}")
 
-    def rebuild_phis(X1s, X2s):
-        return jnp.stack(
-            [phi_inits[i](X1s[i], X2s[i]) for i in range(S)]
-        ) if S else jnp.zeros((0,) + g.shape, dtype)
+    rebasing = cfg.map_rebase_minj > 0.0 and S > 0
+    if rebasing:
+        from pyrmt_tpu.ops.interp import bilinear_interpolate
+
+        def rebuild_phis(X1s, X2s, phis0):
+            # phi_i(x) = phi0_i(xi_i(x)): sample the CURRENT base level set
+            # at the map — the analytic closures only seed phis0 at t=0
+            return jnp.stack([
+                bilinear_interpolate(phis0[i], X1s[i], X2s[i], dx, dy)
+                for i in range(S)
+            ])
+    else:
+        def rebuild_phis(X1s, X2s, phis0=None):
+            return jnp.stack(
+                [phi_inits[i](X1s[i], X2s[i]) for i in range(S)]
+            ) if S else jnp.zeros((0,) + g.shape, dtype)
+
+    if cfg.phi_area_fix and S > 0:
+        # per-solid target areas, concrete at trace time (the t=0 rebuild at
+        # the identity map IS phi_init(X, Y))
+        from pyrmt_tpu.ops.levelset import (
+            area_conserving_shift,
+            smoothed_solid_area,
+        )
+
+        area_targets = tuple(
+            float(smoothed_solid_area(
+                jnp.asarray(pi(X, Y), dtype), dx, dy, cfg.w_t))
+            for pi in phi_inits)
+
+        def fix_areas(phis):
+            return jnp.stack([
+                area_conserving_shift(
+                    phis[i], dx, dy, cfg.w_t, area_targets[i])
+                for i in range(S)
+            ])
 
     @jax.jit
     def step(state: SimState, t_end):
@@ -628,6 +699,8 @@ def make_step(
                     )
                     for i in range(S)
                 ])
+            if cfg.phi_area_fix:
+                phis = fix_areas(phis)
             solid_masks = (phis <= 0.0).astype(dtype)
 
             # (3) advect all reference-map components; the semi-Lagrangian
@@ -689,8 +762,12 @@ def make_step(
             X1s = jnp.where(active, X1s, state.X1)
             X2s = jnp.where(active, X2s, state.X2)
 
-            # (4) rebuild phi from the advected map
+            # (4) rebuild phi from the advected map (the field every
+            # downstream consumer — forces, mixture density, aux — sees;
+            # the area fix must reapply here, not just at (2))
             phis = rebuild_phis(X1s, X2s)
+            if cfg.phi_area_fix:
+                phis = fix_areas(phis)
         else:
             phis = jnp.zeros((0,) + g.shape, dtype)
 
