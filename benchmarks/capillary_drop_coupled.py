@@ -61,16 +61,22 @@ def make_ellipse_phi_init(x0, y0, a, b):
 def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
         t_end=4.5, out_root="outputs", dtype="float32", log_every=100,
         st_method="balanced", kappa_interface=False, verbose=True,
-        cfg_overrides=None, tag=""):
+        cfg_overrides=None, tag="", resume=False, ckpt_every=10,
+        max_chunks=None):
+    """``resume=True`` continues from ``<out_dir>/checkpoint.npz`` (written
+    every ``ckpt_every`` chunks) and re-extends the logged history — the
+    first-class restart SURVEY.md section 5 asks for (the reference writes
+    state but cannot resume, pyRMT/output.py:300-320). ``max_chunks`` stops
+    the host loop early (simulated interruption, used by the resume test)."""
     import jax
     import jax.numpy as jnp
 
     from benchmarks.common import ensure_dir
     from pyrmt_tpu.bcs import free_slip_box_bc
     from pyrmt_tpu.grid import Grid
-    from pyrmt_tpu.io import EnergyLogger
-    from pyrmt_tpu.ops.stress import smoothed_heaviside
+    from pyrmt_tpu.io import EnergyLogger, load_checkpoint, save_checkpoint
     from pyrmt_tpu.sim import RMTConfig, diverged, make_init_state, make_step
+    from pyrmt_tpu.ops.stress import smoothed_heaviside
 
     dt_ = jnp.float64 if dtype == "float64" else jnp.float32
     g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
@@ -88,22 +94,47 @@ def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
         import dataclasses
 
         cfg = dataclasses.replace(cfg, **cfg_overrides)
+    suffix = "" if st_method == "balanced" else f"_{st_method}"
+    if kappa_interface:
+        suffix += "_kstar"
+    if tag:
+        suffix += f"_{tag}"
+    out_dir = ensure_dir(os.path.join(out_root, f"capillary_drop_N{N}{suffix}"))
+    ckpt_path = os.path.join(out_dir, "checkpoint.npz")
+    csv_path = os.path.join(out_dir, "oscillation.csv")
+
     step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=dt_)
-    state = make_init_state(cfg, (phi_init,), dtype=dt_)
+    log = EnergyLogger()
+    if resume and os.path.exists(ckpt_path):
+        state = load_checkpoint(ckpt_path)
+        if os.path.exists(csv_path):
+            log = EnergyLogger.from_csv(csv_path)
+        if verbose:
+            print(f"[capillary-drop] RESUMED from {ckpt_path} at "
+                  f"t={float(state.t):.4f} (step {int(state.step)}, "
+                  f"{len(log.rows)} logged rows)")
+    else:
+        state = make_init_state(cfg, (phi_init,), dtype=dt_)
     t_end_j = jnp.asarray(t_end, dt_)
     X, Y = g.coords(dtype=dt_)
     T_rayleigh = 2.0 * np.pi * np.sqrt(R**3 / (3.0 * gamma))
 
+    rebasing = cfg.map_rebase_minj > 0.0
+
     @jax.jit
     def chunk(s):
+        def nreb_of(aux):
+            return (jnp.sum(aux["rebased"].astype(jnp.int32)) if rebasing
+                    else jnp.zeros((), jnp.int32))
+
         def body(carry, _):
-            s, _aux = carry
+            s, _aux, nreb = carry
             s2, aux = step(s, t_end_j)
-            return (s2, aux), None
+            return (s2, aux, nreb + nreb_of(aux)), None
 
         s1, aux1 = step(s, t_end_j)
-        (s2, aux), _ = jax.lax.scan(body, (s1, aux1), None,
-                                    length=log_every - 1)
+        (s2, aux, nreb), _ = jax.lax.scan(
+            body, (s1, aux1, nreb_of(aux1)), None, length=log_every - 1)
         phi = aux["phis"][0]
         w = 1.0 - smoothed_heaviside(phi, cfg.w_t)   # solid fraction
         area = jnp.sum(w) * g.dx * g.dy
@@ -120,35 +151,43 @@ def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
         ty = s2.t.dtype
         return s2, jnp.stack([
             s2.t, aspect.astype(ty), area.astype(ty), umax.astype(ty),
-            jnp.min(aux["J"]).astype(ty)])
+            jnp.min(aux["J"]).astype(ty), nreb.astype(ty)])
 
     if verbose:
         print(f"[capillary-drop] N={N} gamma={gamma} R={R} ecc={ecc} "
               f"mu_s={mu_s} st_method={st_method} kstar={kappa_interface} "
               f"T_Rayleigh={T_rayleigh:.3f}")
-    log = EnergyLogger()
-    nsteps = 0
+    nsteps = len(log.rows) * log_every
+    n_chunks = 0
     t_wall = time.perf_counter()
     while float(state.t) < t_end:
         state, stats = chunk(state)
         nsteps += log_every
-        t, aspect, area, umax, minJ = map(float, np.asarray(stats))
-        log.log(t=t, aspect=aspect, area=area, umax=umax, minJ=minJ)
+        n_chunks += 1
+        t, aspect, area, umax, minJ, nreb = map(float, np.asarray(stats))
+        log.log(t=t, aspect=aspect, area=area, umax=umax, minJ=minJ,
+                rebases=nreb)
         if verbose and nsteps % (5 * log_every) == 0:
+            extra = f" rebases={nreb:.0f}" if rebasing else ""
             print(f"  step {nsteps:6d} t={t:6.3f} aspect={aspect:.4f} "
-                  f"area={area:.5f} max|u|={umax:.3e} minJ={minJ:.3f}")
+                  f"area={area:.5f} max|u|={umax:.3e} minJ={minJ:.3f}"
+                  f"{extra}")
+        if n_chunks % ckpt_every == 0:
+            save_checkpoint(ckpt_path, state)
+            log.to_csv(csv_path)
         if bool(diverged(state)):
             print("  [diverged]")
             break
+        if max_chunks is not None and n_chunks >= max_chunks:
+            save_checkpoint(ckpt_path, state)
+            log.to_csv(csv_path)
+            if verbose:
+                print(f"  [stopped after {n_chunks} chunks "
+                      f"(max_chunks); checkpoint saved]")
+            break
     wall = time.perf_counter() - t_wall
 
-    suffix = "" if st_method == "balanced" else f"_{st_method}"
-    if kappa_interface:
-        suffix += "_kstar"
-    if tag:
-        suffix += f"_{tag}"
-    out_dir = ensure_dir(os.path.join(out_root, f"capillary_drop_N{N}{suffix}"))
-    log.to_csv(os.path.join(out_dir, "oscillation.csv"))
+    log.to_csv(csv_path)
 
     rows = log.array("t", "aspect", "area", "umax")
     blew_up = bool(diverged(state))
@@ -184,6 +223,7 @@ def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
                         if period == period else float("nan")),
         area_drift=area_drift, umax_tail=u_tail, ca_tail=ca_tail,
         envelope_ratio=envelope_ratio,
+        rebases=float(sum(r.get("rebases", 0.0) for r in log.rows)),
         aspect_final=float(a_s[-1]), steps=nsteps, wall_s=wall,
     )
     if verbose:
@@ -222,9 +262,14 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         if a.startswith("--tend="):
             overrides["_tend"] = float(a.split("=", 1)[1])
+        elif a == "--rebase" or a.startswith("--rebase="):
+            thr = float(a.split("=", 1)[1]) if "=" in a else 0.5
+            overrides["map_rebase_minj"] = thr
+            tag = (tag + "_rebase") if tag else "rebase"
     t_end = overrides.pop("_tend", 4.5)
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(argv[0]) if len(argv) > 0 else 128
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     run(N=N, st_method=st_method, kappa_interface=kstar, dtype=dtype,
-        t_end=t_end, cfg_overrides=overrides or None, tag=tag)
+        t_end=t_end, cfg_overrides=overrides or None, tag=tag,
+        resume="--resume" in sys.argv)

@@ -45,14 +45,18 @@ def pack_positions(S, R):
 
 def run(N=256, S=10, R=0.06, rho_ratio=2.0, t_end=2.0, g0=1.0,
         out_root="outputs", dtype="float32", log_every=50, verbose=True,
-        cfg_overrides=None):
+        cfg_overrides=None, resume=False, ckpt_every=10, max_chunks=None):
+    """``resume=True`` continues from ``<out_dir>/checkpoint.npz`` (written
+    every ``ckpt_every`` chunks) and re-extends the logged history — the
+    first-class restart SURVEY.md section 5 asks for. ``max_chunks`` stops
+    the host loop early (simulated interruption, used by the resume test)."""
     import jax
     import jax.numpy as jnp
 
     from benchmarks.common import ensure_dir, make_disc_phi_init
     from pyrmt_tpu.bcs import free_slip_box_bc
     from pyrmt_tpu.grid import Grid
-    from pyrmt_tpu.io import EnergyLogger
+    from pyrmt_tpu.io import EnergyLogger, load_checkpoint, save_checkpoint
     from pyrmt_tpu.ops.stress import smoothed_heaviside
     from pyrmt_tpu.sim import RMTConfig, diverged, make_init_state, make_step
 
@@ -72,8 +76,27 @@ def run(N=256, S=10, R=0.06, rho_ratio=2.0, t_end=2.0, g0=1.0,
         import dataclasses
 
         cfg = dataclasses.replace(cfg, **cfg_overrides)
+    out_dir = ensure_dir(os.path.join(out_root, f"sedimentation_N{N}_S{S}"))
+    ckpt_path = os.path.join(out_dir, "checkpoint.npz")
+    csv_path = os.path.join(out_dir, "settling.csv")
+    meta_path = os.path.join(out_dir, "resume_meta.npz")
+
     step = make_step(cfg, free_slip_box_bc, phi_inits, dtype=dt_)
-    state = make_init_state(cfg, phi_inits, dtype=dt_)
+    log = EnergyLogger()
+    areas0 = None
+    if resume and os.path.exists(ckpt_path):
+        state = load_checkpoint(ckpt_path)
+        if os.path.exists(csv_path):
+            log = EnergyLogger.from_csv(csv_path)
+        if os.path.exists(meta_path):
+            with np.load(meta_path) as m:
+                areas0 = m["areas0"]
+        if verbose:
+            print(f"[sedimentation] RESUMED from {ckpt_path} at "
+                  f"t={float(state.t):.4f} (step {int(state.step)}, "
+                  f"{len(log.rows)} logged rows)")
+    else:
+        state = make_init_state(cfg, phi_inits, dtype=dt_)
     t_end_j = jnp.asarray(t_end, dt_)
     X, Y = g.coords(dtype=dt_)
 
@@ -110,18 +133,19 @@ def run(N=256, S=10, R=0.06, rho_ratio=2.0, t_end=2.0, g0=1.0,
     if verbose:
         print(f"[sedimentation] N={N} S={S} R={R} rho_s/rho_f={rho_ratio} "
               f"contact pairs={S*(S-1)//2} dtype={dtype}")
-    log = EnergyLogger()
-    nsteps = 0
-    areas0 = None
+    nsteps = len(log.rows) * log_every
+    n_chunks = 0
     t_wall = time.perf_counter()
     while float(state.t) < t_end:
         state, stats = chunk(state)
         nsteps += log_every
+        n_chunks += 1
         arr = np.asarray(stats)
         t, dmin, ke, ybar, minJ, itmax = map(float, arr[:6])
         areas = arr[6 + S:6 + 2 * S]
         if areas0 is None:
             areas0 = areas.copy()
+            np.savez(meta_path, areas0=areas0)
         adrift = float(np.max(np.abs(areas / areas0 - 1.0)))
         log.log(t=t, dmin=dmin, ke=ke, ybar=ybar, minJ=minJ,
                 cg_iters_max=itmax, area_drift=adrift)
@@ -130,13 +154,22 @@ def run(N=256, S=10, R=0.06, rho_ratio=2.0, t_end=2.0, g0=1.0,
                   f"dmin={dmin:.4f} (2R={2*R:.3f}) KE={ke:.2e} "
                   f"minJ={minJ:.3f} cg_max={itmax:.0f} "
                   f"area drift={adrift*100:.2f}%")
+        if n_chunks % ckpt_every == 0:
+            save_checkpoint(ckpt_path, state)
+            log.to_csv(csv_path)
         if bool(diverged(state)):
             print("  [diverged]")
             break
+        if max_chunks is not None and n_chunks >= max_chunks:
+            save_checkpoint(ckpt_path, state)
+            log.to_csv(csv_path)
+            if verbose:
+                print(f"  [stopped after {n_chunks} chunks "
+                      f"(max_chunks); checkpoint saved]")
+            break
     wall = time.perf_counter() - t_wall
 
-    out_dir = ensure_dir(os.path.join(out_root, f"sedimentation_N{N}_S{S}"))
-    log.to_csv(os.path.join(out_dir, "settling.csv"))
+    log.to_csv(csv_path)
     rows = log.array("t", "dmin", "ke", "ybar", "minJ", "cg_iters_max",
                      "area_drift")
     blew_up = bool(diverged(state))
@@ -151,7 +184,8 @@ def run(N=256, S=10, R=0.06, rho_ratio=2.0, t_end=2.0, g0=1.0,
         minJ=float(np.min(rows[:, 4])),
         cg_iters_max=float(np.max(rows[:, 5])),
         area_drift=float(np.max(rows[:, 6])),
-        steps=nsteps, wall_s=wall, steps_per_s=nsteps / wall,
+        steps=nsteps, wall_s=wall,
+        steps_per_s=(n_chunks * log_every) / wall if n_chunks else 0.0,
     )
     if verbose:
         print(f"[sedimentation] stable={summary['stable']}  min pair "
@@ -177,4 +211,4 @@ if __name__ == "__main__":
     N = int(argv[0]) if len(argv) > 0 else 256
     S = int(argv[1]) if len(argv) > 1 else 10
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-    run(N=N, S=S, dtype=dtype)
+    run(N=N, S=S, dtype=dtype, resume="--resume" in sys.argv)

@@ -40,6 +40,8 @@ _STATE_FIELDS = ("u", "v", "p", "X1", "X2", "t", "step")
 def save_checkpoint(path, state):
     """Serialize a SimState to ``path`` (.npz). Atomic-ish: tmp + rename."""
     arrays = {k: np.asarray(getattr(state, k)) for k in _STATE_FIELDS}
+    if getattr(state, "phis0", None) is not None:
+        arrays["phis0"] = np.asarray(state.phis0)
     tmp = path + ".tmp"
     np.savez(tmp, **arrays)
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
@@ -53,7 +55,7 @@ def load_checkpoint(path, dtype=None):
 
     with np.load(path) as data:
         kw = {}
-        for k in _STATE_FIELDS:
+        for k in _STATE_FIELDS + (("phis0",) if "phis0" in data else ()):
             arr = data[k]
             if dtype is not None and arr.dtype.kind == "f":
                 arr = arr.astype(dtype)
@@ -198,3 +200,14 @@ class EnergyLogger:
 
     def array(self, *keys):
         return np.array([[r[k] for k in keys] for r in self.rows])
+
+    @classmethod
+    def from_csv(cls, path):
+        """Reload a history written by ``to_csv`` (driver --resume support);
+        Python float repr round-trips exactly, so resumed summaries see the
+        identical pre-interruption rows."""
+        rows = []
+        with open(path, newline="") as f:
+            for r in csv.DictReader(f):
+                rows.append({k: float(v) for k, v in r.items()})
+        return cls(rows=rows)

@@ -148,9 +148,105 @@ def _bilinear_local(fields, sx, sy, gx, gy, Nx, Ny):
     return out
 
 
-def _advect_sl_rk4(qs, u, v, dt, dx, dy, gx, gy, Nx, Ny):
+def _bicubic_local(fields, masks, sx, sy, gx, gy, Nx, Ny):
+    """Gather-free bicubic (Catmull-Rom) sampling of ``fields`` at
+    (i + sx, j + sy), |s| < 1 — the in-kernel twin of
+    ops.interp.gather_bicubic_local with GLOBAL coordinates (gx, gy).
+
+    The XLA twin realizes the gather path's per-index clipping through
+    edge-replicating pads of the FULL grid; here the slab/panel edge is not
+    (in general) the domain edge — under the shard_map wrapper the slab
+    edge can even hold zero halos — so every stencil tap is clipped into
+    the global domain explicitly: a tap at global index g+k with g+k
+    outside [0, N-1] selects the shift that lands on the boundary
+    row/column instead. On a single device those selects reproduce the
+    edge-pad replication bitwise. ``masks`` (aligned with ``fields``;
+    entries may be None) selects the BILINEAR sample where False — the
+    reference-map band guard (sim.RMTConfig.sl_band_guard).
+    """
+    from pyrmt_tpu.ops.interp import cubic_convolution
+
+    dtype = fields[0].dtype
+    finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+    sx = jnp.where(finite, sx, 0.0)
+    sy = jnp.where(finite, sy, 0.0)
+    eps = 1e-6
+    sx = jnp.clip(sx, -1.0 + eps, 1.0 - eps)
+    sy = jnp.clip(sy, -1.0 + eps, 1.0 - eps)
+    x = jnp.clip(gx + sx, 0.0, Nx - 1.0)
+    y = jnp.clip(gy + sy, 0.0, Ny - 1.0)
+    sx = x - gx
+    sy = y - gy
+    neg_x = sx < 0.0
+    neg_y = sy < 0.0
+    fx = jnp.where(neg_x, sx + 1.0, sx).astype(dtype)
+    fy = jnp.where(neg_y, sy + 1.0, sy).astype(dtype)
+
+    # bilinear fallback for band-guarded cells: gather_bicubic_local calls
+    # its fallback with the already-clamped displacements; the re-clamp
+    # inside _bilinear_local is idempotent, so this matches bitwise
+    bilin = _bilinear_local(fields, sx, sy, gx, gy, Nx, Ny)
+
+    out = []
+    ks = (-2, -1, 0, 1, 2)
+    for f, bl, mk in zip(fields, bilin, masks):
+        shx = {k: _sh_edge_x(f, k) for k in ks}
+        cx = {}
+        for k in ks:
+            v = shx[k]
+            if k < 0:
+                for m in range(0, -k):
+                    v = jnp.where(gx == m, shx[-m], v)
+            elif k > 0:
+                for m in range(0, k):
+                    v = jnp.where(gx == Nx - 1.0 - m, shx[m], v)
+            cx[k] = v
+        tap = {}
+        for k in ks:
+            shy_ = {m: _sh_edge_y(cx[k], m) for m in ks}
+            for m in ks:
+                v = shy_[m]
+                if m < 0:
+                    for r in range(0, -m):
+                        v = jnp.where(gy == r, shy_[-r], v)
+                elif m > 0:
+                    for r in range(0, m):
+                        v = jnp.where(gy == Ny - 1.0 - r, shy_[r], v)
+                tap[(m, k)] = v
+        local_min = None
+        local_max = None
+        rows_v = []
+        for m_ in range(4):
+            cols = []
+            for n_ in range(4):
+                v = jnp.where(
+                    neg_y,
+                    jnp.where(neg_x, tap[(m_ - 2, n_ - 2)],
+                              tap[(m_ - 2, n_ - 1)]),
+                    jnp.where(neg_x, tap[(m_ - 1, n_ - 2)],
+                              tap[(m_ - 1, n_ - 1)]),
+                )
+                cols.append(v)
+                local_min = (v if local_min is None
+                             else jnp.minimum(local_min, v))
+                local_max = (v if local_max is None
+                             else jnp.maximum(local_max, v))
+            rows_v.append(
+                cubic_convolution(cols[0], cols[1], cols[2], cols[3], fx))
+        o = cubic_convolution(rows_v[0], rows_v[1], rows_v[2], rows_v[3], fy)
+        o = jnp.clip(o, local_min, local_max)
+        if mk is not None:
+            o = jnp.where(mk, o, bl)
+        out.append(jnp.where(finite, o, jnp.nan))
+    return out
+
+
+def _advect_sl_rk4(qs, u, v, dt, dx, dy, gx, gy, Nx, Ny,
+                   interp="bilinear", masks=None):
     """Shared-backtrace gather-free SL-RK4 (twin of
-    ops.advect.advect_semilagrangian_rk4_local)."""
+    ops.advect.advect_semilagrangian_rk4_local). ``interp`` selects the
+    FINAL gather of ``qs`` ('bilinear' | 'bicubic'); the stage velocity
+    samples stay bilinear either way (parity with the XLA path)."""
     inv_dx = 1.0 / dx
     inv_dy = 1.0 / dy
     k1x, k1y = u, v
@@ -164,6 +260,10 @@ def _advect_sl_rk4(qs, u, v, dt, dx, dy, gx, gy, Nx, Ny):
         [u, v], -dt * k3x * inv_dx, -dt * k3y * inv_dy, gx, gy, Nx, Ny)
     sx = -(dt / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x) * inv_dx
     sy = -(dt / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y) * inv_dy
+    if interp == "bicubic":
+        return _bicubic_local(
+            qs, masks if masks is not None else [None] * len(qs),
+            sx, sy, gx, gy, Nx, Ny)
     return _bilinear_local(qs, sx, sy, gx, gy, Nx, Ny)
 
 
@@ -315,7 +415,7 @@ def _panel_width(Nx):
 
 def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                  w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp,
-                 tile_skip, pw, slab_halo):
+                 tile_skip, pw, slab_halo, sl_interp, sl_guard):
     """``Ny``/``Nx`` are the GLOBAL domain extents (masks, advection clamp);
     ``Nxl`` is the input slab width (== Nx single-device, local cols +
     2*halo under the 2D shard_map wrapper); ``pw`` the column-panel width."""
@@ -441,10 +541,19 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
                           qs_p=qs_p, c0=c0, c1=c1, o0=o0, pw=pwl):
                 # one RK4 backtrace, applied to every component
                 comps = []
+                cmasks = []
                 for (X1, X2, phi, mask, known) in qs_p:
                     comps.extend([X1, X2])
+                    if sl_interp == "bicubic" and sl_guard is not None:
+                        # band guard at the TARGET cell's pre-advection phi
+                        # (parity: sim.make_step's cubic_mask)
+                        m = phi < -sl_guard
+                        cmasks.extend([m, m])
+                    else:
+                        cmasks.extend([None, None])
                 adv = _advect_sl_rk4(
-                    comps, u_p, v_p, dt, dx, dy, gx_p, gy_p, Nx, Ny)
+                    comps, u_p, v_p, dt, dx, dy, gx_p, gy_p, Nx, Ny,
+                    interp=sl_interp, masks=cmasks)
 
                 def core(a, roff=0):
                     return a[halo - roff : halo - roff + sl, o0 : o0 + pw]
@@ -575,13 +684,15 @@ def rmt_block_supported(Ny, num_layers, S):
     static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
                      "kappa", "rho_s", "rho_f", "stress_w_cut",
                      "stress_clamp", "tile", "interpret", "Ny_total",
-                     "tile_skip", "Nx_total", "panel_width", "slab_halo"),
+                     "tile_skip", "Nx_total", "panel_width", "slab_halo",
+                     "sl_interp", "sl_guard"),
 )
 def rmt_block_fused(
     u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t, mu_s, kappa,
     rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0, tile=None,
     interpret=False, row_offset=None, Ny_total=None, tile_skip=True,
     col_offset=None, Nx_total=None, panel_width=None, slab_halo=False,
+    sl_interp="bilinear", sl_guard=None,
 ):
     """Fused advect→extrapolate→rebuild→stress→blend pipeline.
 
@@ -602,6 +713,16 @@ def rmt_block_fused(
 
     ``panel_width`` overrides the column-panel width (tests pin the
     multi-panel path in interpret mode with it; default ``_panel_width``).
+
+    ``sl_interp`` selects the advection's FINAL gather ('bilinear' |
+    'bicubic' — the Catmull-Rom variant the reference carries only as
+    commented-out code, pyRMT/functions.py:200); ``sl_guard`` (physical phi
+    units, or None for raw bicubic) is the band guard: cells with
+    phi >= -sl_guard take the bilinear sample (sim.RMTConfig.sl_band_guard).
+    The halo budget still closes: bicubic's ±2 stencil around the ±1-cell
+    backtrace needs advection inputs within ±3 rows, and the deepest
+    consumed advected row sits halo - (4*num_layers + 1) = 3 rows from the
+    slab edge — exactly covered.
     """
     S = X1s.shape[0]
     Ny, Nx = u.shape
@@ -671,7 +792,8 @@ def rmt_block_fused(
         num_layers,
         float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
         float(stress_w_cut), float(stress_clamp), bool(tile_skip),
-        int(panel_width), slab_halo)
+        int(panel_width), slab_halo, str(sl_interp),
+        None if sl_guard is None else float(sl_guard))
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
     field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
     in_specs = [scalar_spec, off_spec]

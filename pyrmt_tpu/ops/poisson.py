@@ -713,15 +713,10 @@ def _pin_null_mode(eigenvalues):
     """Set the (0,0) eigenvalue to +inf so the DCT solve ZEROES the constant
     mode's coefficient (x/inf == 0 in every lowering: fft divide, matmul
     block divide, recursive-fold divide) — the exact pseudo-inverse gauge in
-    the trapezoidal-weight inner product. Host-side when concrete, keeping
-    the matmul paths' trace-time eigenvalue slicing."""
-    if isinstance(eigenvalues, jax.core.Tracer):
-        return eigenvalues.at[0, 0].set(jnp.inf)
-    import numpy as np
-
-    e = np.array(eigenvalues)
-    e[0, 0] = np.inf
-    return jnp.asarray(e)
+    the trapezoidal-weight inner product. ``.at[].set`` works for both
+    concrete arrays and tracers (the sole caller is inside a jitted solve,
+    so the update is a compile-time constant fold when concrete)."""
+    return jnp.asarray(eigenvalues).at[0, 0].set(jnp.inf)
 
 
 def _trapezoid_weights(shape, dtype):

@@ -37,10 +37,14 @@ def make_mesh(devices=None, axis_names=("gy", "gx")):
     return Mesh(arr, axis_names)
 
 
-def state_sharding(mesh: Mesh):
+def state_sharding(mesh: Mesh, rebasing: bool = False):
     """NamedShardings for the SimState pytree: 2D fields sharded over the
     grid axes, solid stacks replicated over the (small) solid axis, scalars
-    replicated."""
+    replicated. ``phis0`` is grid-sharded only when map rebasing carries a
+    real base stack (``rebasing=True``); the empty (0, Ny, Nx) placeholder
+    stays REPLICATED — the partitioner outputs a zero-size array as
+    replicated, and declaring a split in_sharding for it breaks step-on-own-
+    output chains with a sharding-mismatch ValueError."""
     gy, gx = mesh.axis_names
     field = NamedSharding(mesh, P(gy, gx))
     stack = NamedSharding(mesh, P(None, gy, gx))
@@ -48,12 +52,27 @@ def state_sharding(mesh: Mesh):
     from pyrmt_tpu.sim import SimState
 
     return SimState(u=field, v=field, p=field, X1=stack, X2=stack,
-                    t=scalar, step=scalar)
+                    t=scalar, step=scalar,
+                    phis0=stack if rebasing else scalar)
+
+
+def _normalize_phis0(state):
+    """Replace a legacy ``phis0=None`` with the canonical empty (0, Ny, Nx)
+    stack so every sharded state has one pytree structure."""
+    if state.phis0 is not None:
+        return state
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    return dataclasses.replace(
+        state, phis0=jnp.zeros((0,) + state.u.shape, state.u.dtype))
 
 
 def shard_state(state, mesh: Mesh):
     """Place an existing SimState onto the mesh with the canonical layout."""
-    sh = state_sharding(mesh)
+    state = _normalize_phis0(state)
+    sh = state_sharding(mesh, rebasing=state.phis0.shape[0] > 0)
     return jax.tree.map(jax.device_put, state, sh)
 
 
@@ -121,7 +140,8 @@ def make_rmt_block_sharded(mesh: Mesh, Ny: int, Nx: int, num_layers: int,
     stack = P(None, gy, gx)
 
     def impl(u, v, X1s, X2s, dt, *, phi_inits, dx, dy, num_layers, w_t,
-             mu_s, kappa, rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0):
+             mu_s, kappa, rho_s, rho_f, stress_w_cut=0.0, stress_clamp=0.0,
+             sl_interp="bilinear", sl_guard=None):
         from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
 
         def body(u_l, v_l, X1_l, X2_l, dt_l):
@@ -133,6 +153,7 @@ def make_rmt_block_sharded(mesh: Mesh, Ny: int, Nx: int, num_layers: int,
                 phi_inits=phi_inits, dx=dx, dy=dy, num_layers=num_layers,
                 w_t=w_t, mu_s=mu_s, kappa=kappa, rho_s=rho_s, rho_f=rho_f,
                 stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
+                sl_interp=sl_interp, sl_guard=sl_guard,
                 row_offset=iy * ly - (halo if ny > 1 else 0), Ny_total=Ny,
                 col_offset=(ix * lx - halo) if nx > 1 else None,
                 Nx_total=Nx if nx > 1 else None,
@@ -290,7 +311,7 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
                           rmt_block_impl=rmt_impl,
                           momentum_rk4_impl=mom_impl)
-    sh = state_sharding(mesh)
+    sh = state_sharding(mesh, rebasing=cfg.map_rebase_minj > 0.0 and S > 0)
     scalar = NamedSharding(mesh, P())
 
     step = jax.jit(
@@ -300,6 +321,6 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
     )
 
     def shard(state):
-        return jax.tree.map(jax.device_put, state, sh)
+        return jax.tree.map(jax.device_put, _normalize_phis0(state), sh)
 
     return step, shard

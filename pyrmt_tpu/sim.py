@@ -59,8 +59,13 @@ class SimState:
     step: jax.Array        # int32 step counter
     phis0: jax.Array = None  # (S, Ny, Nx) base level sets sampled by the
                              # interp rebuild when map rebasing is enabled
-                             # (map_rebase_minj > 0); shape (0, Ny, Nx)
-                             # otherwise so the pytree stays uniform
+                             # (map_rebase_minj > 0). make_init_state always
+                             # seeds an array — shape (0, Ny, Nx) when
+                             # rebasing is off so the pytree stays uniform —
+                             # and step() threads it through; the None
+                             # default only covers direct construction by
+                             # legacy callers/checkpoints (treated as the
+                             # empty stack)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,10 +186,11 @@ class RMTConfig:
     sl_local: bool = True           # gather-free semi-Lagrangian (needs CFL<1)
     sl_interp: str = "bilinear"     # final SL gather: 'bilinear' | 'bicubic'
                                     # (Catmull-Rom, the reference's inactive
-                                    # variant pyRMT/functions.py:200; has a
-                                    # gather-free local path too, but no
-                                    # fused RMT block — the kernel is
-                                    # bilinear-only)
+                                    # variant pyRMT/functions.py:200; both
+                                    # have gather-free local paths AND fused
+                                    # RMT-block kernel support — bicubic
+                                    # fused round 4, pinned bitwise vs the
+                                    # XLA path in tests/test_pallas.py)
     sl_band_guard: float = 3.0      # bicubic band guard, in cells: reference-
                                     # map cells with phi > -guard*dx fall back
                                     # to the bilinear sample so bicubic's 4x4
@@ -329,18 +335,19 @@ def check_narrow_band(w_t, dx, num_layers):
 def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
     """Config-level conditions under which the fused RMT-block kernel can
     replace the advect→extrapolate→rebuild→stress block (any impl, incl.
-    the sharded one): semi-Lagrangian gather-free advection with a sub-cell
-    (CFL < 1) backtrace and no level-set post-processing (reinitialisation
-    or the area-conserving shift): both rewrite phi AFTER the rebuild the
-    kernel performs internally, which would desync the kernel's own
-    phi-derived blends (Hf, rho_local, banded stress). Map rebasing also
-    opts out: its rebuild samples SimState.phis0 instead of the analytic
-    closures the kernel bakes in."""
+    the sharded one): semi-Lagrangian gather-free advection (bilinear or
+    band-guarded bicubic final gather — both fused since round 4) with a
+    sub-cell (CFL < 1) backtrace and no level-set post-processing
+    (reinitialisation or the area-conserving shift): both rewrite phi AFTER
+    the rebuild the kernel performs internally, which would desync the
+    kernel's own phi-derived blends (Hf, rho_local, banded stress). Map
+    rebasing also opts out: its rebuild samples SimState.phis0 instead of
+    the analytic closures the kernel bakes in."""
     return (
         S >= 1
         and cfg.scheme == "semilagrangian"
         and cfg.sl_local
-        and cfg.sl_interp == "bilinear"
+        and cfg.sl_interp in ("bilinear", "bicubic")
         and cfg.CFL < 1.0
         and cfg.reinit_method == "none"
         and not cfg.phi_area_fix
@@ -411,6 +418,24 @@ def make_step(
         raise ValueError(f"unknown st_method {cfg.st_method!r}")
     if cfg.st_curvature not in ("fd", "hf"):
         raise ValueError(f"unknown st_curvature {cfg.st_curvature!r}")
+    if cfg.st_curvature == "hf" and cfg.gamma > 1e-12 and S > 0:
+        # make_step IS the coupled moving-interface path (the static-drop
+        # driver bypasses it): under the deforming rebuilt phi the height-
+        # function estimator's jagged per-cell kappa feeds the parasitic
+        # loop faster than the smooth fd/kappa* band estimate — measured
+        # divergence at t~0.44 on the coupled capillary case with or
+        # without reinit (benchmarks/README.md, Estimator arbitration).
+        import warnings
+
+        warnings.warn(
+            "st_curvature='hf' on a COUPLED moving interface: the height-"
+            "function estimator is measured to destabilise the coupled "
+            "capillary case at t~0.44 (benchmarks/README.md); it is "
+            "validated only for static/prescribed interfaces — use "
+            "st_curvature='fd' with st_kappa_interface=True (kappa*) for "
+            "coupled flows.",
+            stacklevel=2,
+        )
     st_balanced = cfg.st_method == "balanced" and cfg.gamma > 1e-12
     if st_balanced and cfg.bc_type != "neumann":
         raise ValueError(
@@ -514,14 +539,49 @@ def make_step(
     rebasing = cfg.map_rebase_minj > 0.0 and S > 0
     if rebasing:
         from pyrmt_tpu.ops.interp import bilinear_interpolate
+        from pyrmt_tpu.ops.levelset import reinitialize_phi_fsm
 
         def rebuild_phis(X1s, X2s, phis0):
             # phi_i(x) = phi0_i(xi_i(x)): sample the CURRENT base level set
-            # at the map — the analytic closures only seed phis0 at t=0
+            # at the map — the analytic closures only seed phis0 at t=0.
+            # The generalization of the reference's analytic rebuild
+            # (pyRMT/functions.py:1287-1288) to a non-analytic phi0.
             return jnp.stack([
                 bilinear_interpolate(phis0[i], X1s[i], X2s[i], dx, dy)
                 for i in range(S)
             ])
+
+        def maybe_rebase(X1s, X2s, phis, J_s, phis0, active):
+            # In-graph min-J trigger (see RMTConfig.map_rebase_minj): when a
+            # solid's minimum J over its interior drops below the threshold,
+            # reset its map to the identity, redistance its CURRENT level
+            # set by fast sweeping into the new base phi0, and re-extrapolate
+            # the identity map over the narrow band. lax.cond pays the
+            # redistance+extrapolation only on triggering steps. J == 1 at
+            # the identity, so a rebase cannot re-trigger immediately.
+            big = jnp.asarray(jnp.inf, J_s.dtype)
+            X1_out, X2_out, p0_out, flags = [], [], [], []
+            for i in range(S):
+                minJ = jnp.min(jnp.where(phis[i] <= 0.0, J_s[i], big))
+                trig = (minJ < cfg.map_rebase_minj) & active
+
+                def do_rebase(_, i=i):
+                    phi0n = reinitialize_phi_fsm(phis[i], dx, dy)
+                    mask = (phi0n <= 0.0).astype(dtype)
+                    X1n, X2n = extrap_fn(
+                        X * mask, Y * mask, phi0n, dx, dy, cfg.num_layers)
+                    return X1n, X2n, phi0n
+
+                def keep(_, i=i):
+                    return X1s[i], X2s[i], phis0[i]
+
+                X1n, X2n, p0n = jax.lax.cond(trig, do_rebase, keep, None)
+                X1_out.append(X1n)
+                X2_out.append(X2n)
+                p0_out.append(p0n)
+                flags.append(trig)
+            return (jnp.stack(X1_out), jnp.stack(X2_out),
+                    jnp.stack(p0_out), jnp.stack(flags))
     else:
         def rebuild_phis(X1s, X2s, phis0=None):
             return jnp.stack(
@@ -591,12 +651,16 @@ def make_step(
                     tuning["slab_halo"] = True
                 rmt_fn = (functools.partial(rmt_block_fused, **tuning)
                           if tuning else rmt_block_fused)
+            sl_guard = (cfg.sl_band_guard * max(dx, dy)
+                        if (cfg.sl_interp == "bicubic"
+                            and cfg.sl_band_guard > 0.0) else None)
             (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
              sb_xx, sb_xy, sb_yy) = rmt_fn(
                 u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits), dx=dx, dy=dy,
                 num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=cfg.mu_s,
                 kappa=cfg.kappa, rho_s=cfg.rho_s, rho_f=cfg.rho_f,
                 stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
+                sl_interp=cfg.sl_interp, sl_guard=sl_guard,
             )
             X1s = jnp.where(active, X1e, state.X1)
             X2s = jnp.where(active, X2e, state.X2)
@@ -674,6 +738,7 @@ def make_step(
                 p=frz(p_new, state.p), X1=X1s, X2=X2s,
                 t=state.t + jnp.where(active, dt, 0.0).astype(dtype),
                 step=state.step + jnp.where(active, 1, 0).astype(jnp.int32),
+                phis0=state.phis0,
             )
             aux = {
                 "dt": jnp.where(active, dt, 0.0).astype(dtype),
@@ -690,7 +755,7 @@ def make_step(
 
         if S > 0:
             # (2) compatibility rebuild (+ optional reinitialisation)
-            phis = rebuild_phis(X1s, X2s)
+            phis = rebuild_phis(X1s, X2s, state.phis0)
             if cfg.reinit_method != "none":
                 phis = jnp.stack([
                     reinitialize_level_set(
@@ -765,7 +830,7 @@ def make_step(
             # (4) rebuild phi from the advected map (the field every
             # downstream consumer — forces, mixture density, aux — sees;
             # the area fix must reapply here, not just at (2))
-            phis = rebuild_phis(X1s, X2s)
+            phis = rebuild_phis(X1s, X2s, state.phis0)
             if cfg.phi_area_fix:
                 phis = fix_areas(phis)
         else:
@@ -804,6 +869,15 @@ def make_step(
                 {"slab_halo": True} if cfg.kernel_slab_halo else None),
         )
 
+        # (5b) map rebasing: reset folding maps to the identity against a
+        # redistanced base level set (RMTConfig.map_rebase_minj). Runs AFTER
+        # this step's physics (which used the pre-rebase maps) so the rebased
+        # maps flow into the NEXT step.
+        phis0_new = state.phis0
+        if rebasing:
+            X1s, X2s, phis0_new, rebase_flags = maybe_rebase(
+                X1s, X2s, phis, J_s, state.phis0, active)
+
         # (6) projection with the mixture density
         if S > 0:
             H_s = smoothed_heaviside(phis, cfg.w_t)
@@ -829,6 +903,7 @@ def make_step(
             p=frz(p_new, state.p), X1=X1s, X2=X2s,
             t=state.t + jnp.where(active, dt, 0.0).astype(dtype),
             step=state.step + jnp.where(active, 1, 0).astype(jnp.int32),
+            phis0=phis0_new,
         )
         aux = {
             "dt": jnp.where(active, dt, 0.0).astype(dtype),
@@ -841,6 +916,8 @@ def make_step(
         }
         if cfg.variable_rho:
             aux["cg_iters"], aux["cg_relres"] = proj_out[3]
+        if rebasing:
+            aux["rebased"] = rebase_flags
         return new_state, aux
 
     return step
@@ -863,21 +940,29 @@ def make_init_state(
     u = zeros if u0 is None else jnp.asarray(u0, dtype)
     v = zeros if v0 is None else jnp.asarray(v0, dtype)
 
-    X1_list, X2_list = [], []
+    X1_list, X2_list, phi0_list = [], [], []
     for i in range(S):
-        phi = phi_inits[i](X, Y)
+        phi = jnp.asarray(phi_inits[i](X, Y), dtype)
         mask = (phi <= 0.0).astype(dtype)
         X1e, X2e = extrapolate_reference_map(
             X * mask, Y * mask, phi, g.dx, g.dy, cfg.num_layers
         )
         X1_list.append(X1e)
         X2_list.append(X2e)
+        phi0_list.append(phi)
     X1s = jnp.stack(X1_list) if S else jnp.zeros((0,) + g.shape, dtype)
     X2s = jnp.stack(X2_list) if S else jnp.zeros((0,) + g.shape, dtype)
+    # base level sets for map rebasing: at t=0 the rebuild at the identity
+    # map must reproduce the analytic phi_init exactly, so seed with it
+    # as-is (redistancing only happens at rebase events)
+    rebasing = cfg.map_rebase_minj > 0.0 and S > 0
+    phis0 = (jnp.stack(phi0_list) if rebasing
+             else jnp.zeros((0,) + g.shape, dtype))
 
     return SimState(
         u=u, v=v, p=zeros, X1=X1s, X2=X2s,
         t=jnp.zeros((), dtype), step=jnp.zeros((), jnp.int32),
+        phis0=phis0,
     )
 
 

@@ -484,3 +484,115 @@ def test_pallas_full_rk4_nonzero_external_force():
 
     assert np.allclose(np.asarray(u_k), np.asarray(u_x), atol=1e-13)
     assert np.allclose(np.asarray(v_k), np.asarray(v_x), atol=1e-13)
+
+
+def test_rmt_block_fused_bicubic_matches_composed_ops():
+    """Round-4: the fused RMT block with the BICUBIC final gather (band-
+    guarded and raw) equals the composed XLA ops to roundoff, including a
+    solid overlapping the domain edge (the kernel's explicit global-index
+    stencil clipping must reproduce the XLA edge-pad replication bitwise),
+    and a full sim step through the fused bicubic path stays machine-exact
+    vs the XLA path."""
+    import dataclasses
+    import functools
+
+    import pyrmt_tpu.kernels.rmt_block as rb
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.ops.advect import advect_semilagrangian_rk4_local
+    from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+    from pyrmt_tpu.ops.stress import solid_cauchy_stress
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    # overlaps the right domain edge: exercises the clipped stencil taps
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.85) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.1, eta_s=0.01, rho_s=1.0, mu_f=0.01,
+                    rho_f=1.0, num_layers=3, CFL=0.2, dt_min_cap=1e-3,
+                    sl_interp="bicubic")
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 1e-3
+
+    phis = jnp.stack([phi_init(state.X1[0], state.X2[0])])
+    mask = (phis[0] <= 0.0).astype(jnp.float64)
+    qs = jnp.concatenate([state.X1, state.X2], axis=0)
+    for guard in (3.0, None):  # band-guarded and raw bicubic
+        if guard is not None:
+            m = phis < (-guard * max(g.dx, g.dy))
+            cubic_mask = jnp.concatenate([m, m], axis=0)
+            sl_guard = guard * max(g.dx, g.dy)
+        else:
+            cubic_mask = None
+            sl_guard = None
+        qs_new = advect_semilagrangian_rk4_local(
+            qs, u, v, dt, g.dx, g.dy, interp="bicubic",
+            cubic_mask=cubic_mask)
+        X1e, X2e = extrapolate_reference_map(
+            qs_new[0] * mask, qs_new[1] * mask, phis[0], g.dx, g.dy, 3)
+        phi2 = phi_init(X1e, X2e)
+        sxx, _, _, J = solid_cauchy_stress(
+            X1e, X2e, g.dx, g.dy, 0.1, 0.0, phi2, w_cut=0.0, detg_clamp=0.0)
+
+        out = rb.rmt_block_fused(
+            u, v, state.X1, state.X2, dt, phi_inits=(phi_init,), dx=g.dx,
+            dy=g.dy, num_layers=3, w_t=cfg.w_t, mu_s=0.1, kappa=0.0,
+            rho_s=1.0, rho_f=1.0, sl_interp="bicubic", sl_guard=sl_guard,
+            interpret=True)
+        assert np.allclose(np.asarray(X1e), np.asarray(out[0][0]), atol=1e-13)
+        assert np.allclose(np.asarray(X2e), np.asarray(out[1][0]), atol=1e-13)
+        assert np.allclose(np.asarray(phi2), np.asarray(out[2][0]), atol=1e-13)
+        assert np.allclose(np.asarray(sxx), np.asarray(out[3][0]), atol=1e-13)
+        assert np.allclose(np.asarray(J), np.asarray(out[6][0]), atol=1e-12)
+
+    # full sim step through the fused bicubic path (default band guard)
+    orig = rb.rmt_block_fused
+    rb.rmt_block_fused = functools.partial(orig, interpret=True)
+    try:
+        bc = make_lid_bc(1.0)
+        t_end = jnp.asarray(1.0, jnp.float64)
+        step_x = make_step(dataclasses.replace(cfg, rmt_method="xla"),
+                           bc, (phi_init,), dtype=jnp.float64)
+        step_p = make_step(dataclasses.replace(cfg, rmt_method="pallas"),
+                           bc, (phi_init,), dtype=jnp.float64)
+        sx, sp = state, state
+        for _ in range(3):
+            sx, _ = step_x(sx, t_end)
+            sp, _ = step_p(sp, t_end)
+        assert np.allclose(np.asarray(sx.u), np.asarray(sp.u), atol=1e-14)
+        assert np.allclose(np.asarray(sx.p), np.asarray(sp.p), atol=1e-13)
+        assert np.allclose(np.asarray(sx.X1), np.asarray(sp.X1), atol=1e-13)
+    finally:
+        rb.rmt_block_fused = orig
+
+
+def test_rmt_block_bicubic_multi_panel_parity():
+    """Bicubic fused path: multi-panel output equals the single-panel
+    kernel bitwise (panel-edge staleness must stay outside the consumed
+    window with the wider bicubic stencil too)."""
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+
+    Ny = Nx = 128
+    phi_init = (
+        lambda X, Y: jnp.sqrt((X - 0.5) ** 2 + (Y - 0.125) ** 2) - 0.1)
+    dx = dy = 1.0 / (Nx - 1)
+    X, Y = jnp.meshgrid(jnp.arange(Nx) * dx, jnp.arange(Ny) * dy)
+    X1 = (X + 0.003 * jnp.sin(2 * jnp.pi * Y)).astype(jnp.float64)
+    X2 = (Y - 0.002 * jnp.cos(2 * jnp.pi * X)).astype(jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 0.2 * dx / 0.3
+
+    kw = dict(phi_inits=(phi_init,), dx=dx, dy=dy, num_layers=3, w_t=3 * dx,
+              mu_s=0.1, kappa=1.0, rho_s=1.0, rho_f=1.0, stress_w_cut=3 * dx,
+              stress_clamp=4.0, sl_interp="bicubic", sl_guard=3 * dx,
+              interpret=True)
+    single = rmt_block_fused(u, v, X1[None], X2[None], dt,
+                             tile_skip=False, **kw)
+    for skip in (True, False):
+        multi = rmt_block_fused(u, v, X1[None], X2[None], dt,
+                                tile_skip=skip, panel_width=32, **kw)
+        for x, y in zip(multi, single):
+            assert float(jnp.max(jnp.abs(x - y))) == 0.0
