@@ -46,8 +46,8 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
     if dct_highest:
         cfg = dataclasses.replace(cfg, dct_precision="highest")
     if sl_bicubic:
-        # Catmull-Rom final gather (local shift+select path); the fused RMT
-        # block is bilinear-only, so this also measures the XLA RMT path
+        # Catmull-Rom final gather — fused into the RMT-block kernel since
+        # round 4 (band-guarded; kernels/rmt_block._bicubic_local)
         cfg = dataclasses.replace(cfg, sl_interp="bicubic")
     step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
     state = make_init_state(cfg, phi_inits, dtype=jnp.float32)

@@ -265,7 +265,8 @@ if __name__ == "__main__":
         elif a == "--rebase" or a.startswith("--rebase="):
             thr = float(a.split("=", 1)[1]) if "=" in a else 0.5
             overrides["map_rebase_minj"] = thr
-            tag = (tag + "_rebase") if tag else "rebase"
+            rtag = f"rebase{thr:g}"
+            tag = (tag + "_" + rtag) if tag else rtag
     t_end = overrides.pop("_tend", 4.5)
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(argv[0]) if len(argv) > 0 else 128
