@@ -149,6 +149,48 @@ def diff_upwind_3rd(f, u, h, axis):
     return out
 
 
+def wrap_pad_x(f, k):
+    """``k`` periodic ghost columns each side on the OVERLAP grid, where
+    column N-1 duplicates column 0 (the periodic solver's layout,
+    ops/poisson.py:tile_overlap): the left ghosts are columns N-1-k..N-2
+    and the right ghosts columns 1..k."""
+    return jnp.concatenate([f[:, -1 - k:-1], f, f[:, 1:1 + k]], axis=1)
+
+
+def wrap_pad_y(f, k):
+    return jnp.concatenate([f[-1 - k:-1, :], f, f[1:1 + k, :]], axis=0)
+
+
+def grad_central_x_2nd_periodic(f, dx):
+    """2nd-order central d/dx with periodic (overlap-grid) wrap — no
+    one-sided boundary closures. Rows 0 and N-1 produce identical values
+    by construction (both read f[1] and f[N-2])."""
+    p = wrap_pad_x(f, 1)
+    return (p[:, 2:] - p[:, :-2]) * (1.0 / (2.0 * dx))
+
+
+def grad_central_y_2nd_periodic(f, dy):
+    p = wrap_pad_y(f, 1)
+    return (p[2:, :] - p[:-2, :]) * (1.0 / (2.0 * dy))
+
+
+def diff_upwind_3rd_periodic(f, u, h, axis):
+    """3rd-order upwind-biased derivative with periodic wrap everywhere —
+    the interior formula of ``diff_upwind_3rd`` with wrapped shifts and no
+    boundary fallbacks."""
+    if axis == 1:
+        p = wrap_pad_x(f, 2)
+        sh = lambda k: p[:, 2 + k: 2 + k + f.shape[1]]
+    else:
+        p = wrap_pad_y(f, 2)
+        sh = lambda k: p[2 + k: 2 + k + f.shape[0], :]
+    fp1, fp2, fm1, fm2 = sh(1), sh(2), sh(-1), sh(-2)
+    inv_6h = 1.0 / (6.0 * h)
+    pos = (2.0 * fp1 + 3.0 * f - 6.0 * fm1 + fm2) * inv_6h
+    neg = (-fp2 + 6.0 * fp1 - 3.0 * f - 2.0 * fm1) * inv_6h
+    return jnp.where(u > 0, pos, neg)
+
+
 def solve3x3_sym(a00, a01, a02, a11, a12, a22, b0, b1, b2, det_eps=1e-10):
     """Vectorised Cramer solve of a symmetric 3x3 system per grid cell.
 

@@ -534,15 +534,27 @@ def tile_overlap(field_reduced, Ny, Nx):
 
 def solve_poisson_fft(rhs_full, eigenvalues_periodic):
     """Direct periodic Poisson solve on the reduced sub-grid
-    (parity: pyRMT/functions.py:1137-1154). Null-mode corrections are zeroed."""
+    (parity: pyRMT/functions.py:1137-1154). Null-mode corrections are zeroed.
+
+    The 2D transform runs as per-axis 1D FFTs with EXPLICIT transposes
+    (mathematically identical to fft2): under GSPMD the partitioner feeds
+    the fused fft2 custom-call a transposed (non-dim0-major) operand
+    layout, which XLA:CPU's fft thunk RET_CHECK-rejects
+    (fft_thunk.cc: IsMonotonicWithDim0Major) — the explicit transposes
+    materialize default-layout operands for every 1D transform, and the
+    axis-1 FFTs keep each device's row shard local (the transpose carries
+    the all-to-all). Pinned sharded-vs-single in tests/test_sharding.py."""
     eig, null = eigenvalues_periodic
     Ny, Nx = rhs_full.shape
     r = rhs_full[:-1, :-1]
     r = r - jnp.mean(r)
-    rhat = jnp.fft.fft2(r)
+    rhat = jnp.fft.fft(r, axis=1)
+    rhat = jnp.fft.fft(rhat.T, axis=1).T
     phat = rhat / eig.astype(rhat.real.dtype)
     phat = jnp.where(null, 0.0, phat)
-    p_reduced = jnp.real(jnp.fft.ifft2(phat)).astype(rhs_full.dtype)
+    g = jnp.fft.ifft(phat, axis=1)
+    g = jnp.fft.ifft(g.T, axis=1).T
+    p_reduced = jnp.real(g).astype(rhs_full.dtype)
     p = tile_overlap(p_reduced, Ny, Nx)
     return p - jnp.mean(p)
 

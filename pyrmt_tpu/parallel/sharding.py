@@ -37,21 +37,22 @@ def make_mesh(devices=None, axis_names=("gy", "gx")):
     return Mesh(arr, axis_names)
 
 
-def state_sharding(mesh: Mesh, rebasing: bool = False):
+def state_sharding(mesh: Mesh, rebasing: bool = False, S: int = 1):
     """NamedShardings for the SimState pytree: 2D fields sharded over the
     grid axes, solid stacks replicated over the (small) solid axis, scalars
-    replicated. ``phis0`` is grid-sharded only when map rebasing carries a
-    real base stack (``rebasing=True``); the empty (0, Ny, Nx) placeholder
-    stays REPLICATED — the partitioner outputs a zero-size array as
-    replicated, and declaring a split in_sharding for it breaks step-on-own-
-    output chains with a sharding-mismatch ValueError."""
+    replicated. EMPTY stacks stay REPLICATED — the partitioner outputs a
+    zero-size array as replicated, and declaring a split in_sharding for it
+    breaks step-on-own-output chains with a sharding-mismatch ValueError:
+    the (0, Ny, Nx) X1/X2 of a pure-fluid (S=0) state, and phis0 whenever
+    map rebasing is off (``rebasing=False``)."""
     gy, gx = mesh.axis_names
     field = NamedSharding(mesh, P(gy, gx))
     stack = NamedSharding(mesh, P(None, gy, gx))
     scalar = NamedSharding(mesh, P())
     from pyrmt_tpu.sim import SimState
 
-    return SimState(u=field, v=field, p=field, X1=stack, X2=stack,
+    maps = stack if S > 0 else scalar
+    return SimState(u=field, v=field, p=field, X1=maps, X2=maps,
                     t=scalar, step=scalar,
                     phis0=stack if rebasing else scalar)
 
@@ -72,7 +73,8 @@ def _normalize_phis0(state):
 def shard_state(state, mesh: Mesh):
     """Place an existing SimState onto the mesh with the canonical layout."""
     state = _normalize_phis0(state)
-    sh = state_sharding(mesh, rebasing=state.phis0.shape[0] > 0)
+    sh = state_sharding(mesh, rebasing=state.phis0.shape[0] > 0,
+                        S=state.X1.shape[0])
     return jax.tree.map(jax.device_put, state, sh)
 
 
@@ -311,7 +313,8 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
                           rmt_block_impl=rmt_impl,
                           momentum_rk4_impl=mom_impl)
-    sh = state_sharding(mesh, rebasing=cfg.map_rebase_minj > 0.0 and S > 0)
+    sh = state_sharding(mesh, rebasing=cfg.map_rebase_minj > 0.0 and S > 0,
+                        S=S)
     scalar = NamedSharding(mesh, P())
 
     step = jax.jit(

@@ -64,7 +64,7 @@ def compute_timestep(
 
 def velocity_rhs_blended(
     u, v, p, sig_sxx, sig_sxy, sig_syy, dx, dy, mu_f, Hf, rho_local,
-    f_ext_x, f_ext_y,
+    f_ext_x, f_ext_y, periodic=False,
 ):
     """Conservative one-fluid RHS: blend stress tensors BEFORE the divergence
     (Jain et al. 2019, Sec. 4.3; parity: pyRMT/functions.py:818-865).
@@ -73,24 +73,43 @@ def velocity_rhs_blended(
     sum_i (1-H_i) sigma_s_i, and ``Hf`` is the fluid fraction
     sum_i H_i - (S-1), so the same RHS serves any solid count.
     ``f_ext`` collects surface-tension + contact body forces.
+
+    ``periodic=True`` (static) swaps every stencil for its overlap-grid
+    periodic-wrap variant — a DOCUMENTED deviation from the reference,
+    whose momentum stencils stay one-sided at the boundary ring even under
+    bc_type='periodic' (pyRMT/utils.py boundary closures feed
+    functions.py:818-865 unconditionally); that inconsistency against the
+    periodic-symbol FFT projection is measured to be unconditionally
+    unstable on the pure periodic Taylor-Green vortex (blow-up via
+    boundary-ring pressure feedback at t~0.06, N=65 f64 — see
+    docs/DESIGN.md #10 and benchmarks/periodic_taylor_green.py).
     """
-    du_dx = grad_central_x_2nd(u, dx)
-    dv_dy = grad_central_y_2nd(v, dy)
-    du_dy = grad_central_y_2nd(u, dy)
-    dv_dx = grad_central_x_2nd(v, dx)
+    if periodic:
+        from pyrmt_tpu.ops.fd import (
+            diff_upwind_3rd_periodic as dup3,
+            grad_central_x_2nd_periodic as gx2,
+            grad_central_y_2nd_periodic as gy2,
+        )
+    else:
+        gx2, gy2, dup3 = grad_central_x_2nd, grad_central_y_2nd, diff_upwind_3rd
+
+    du_dx = gx2(u, dx)
+    dv_dy = gy2(v, dy)
+    du_dy = gy2(u, dy)
+    dv_dx = gx2(v, dx)
 
     sig_xx = Hf * (2.0 * mu_f * du_dx) + sig_sxx
     sig_yy = Hf * (2.0 * mu_f * dv_dy) + sig_syy
     sig_xy = Hf * (mu_f * (du_dy + dv_dx)) + sig_sxy
 
-    div_sigma_x = grad_central_x_2nd(sig_xx, dx) + grad_central_y_2nd(sig_xy, dy)
-    div_sigma_y = grad_central_x_2nd(sig_xy, dx) + grad_central_y_2nd(sig_yy, dy)
+    div_sigma_x = gx2(sig_xx, dx) + gy2(sig_xy, dy)
+    div_sigma_y = gx2(sig_xy, dx) + gy2(sig_yy, dy)
 
-    u_adv = -u * diff_upwind_3rd(u, u, dx, 1) - v * diff_upwind_3rd(u, v, dy, 0)
-    v_adv = -u * diff_upwind_3rd(v, u, dx, 1) - v * diff_upwind_3rd(v, v, dy, 0)
+    u_adv = -u * dup3(u, u, dx, 1) - v * dup3(u, v, dy, 0)
+    v_adv = -u * dup3(v, u, dx, 1) - v * dup3(v, v, dy, 0)
 
-    dp_dx = grad_central_x_2nd(p, dx)
-    dp_dy = grad_central_y_2nd(p, dy)
+    dp_dx = gx2(p, dx)
+    dp_dy = gy2(p, dy)
 
     inv_rho = 1.0 / (rho_local + 1e-12)
     rhs_u = u_adv + (div_sigma_x + f_ext_x - dp_dx) * inv_rho
@@ -231,7 +250,7 @@ def momentum_step_rk4_multi(
     g_x=0.0, g_y=0.0, g_rho_ref=None, ext_override=None,
     st_curvature="fd", st_kappa_interface=False,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
-    pallas_rk4_kwargs=None,
+    pallas_rk4_kwargs=None, periodic=False,
 ):
     """Generic n-solid RK4 momentum step.
 
@@ -284,7 +303,7 @@ def momentum_step_rk4_multi(
         f_ext_x, f_ext_y, mkv, velocity_bc, eta_s=eta_s, dx=dx, dy=dy,
         dt=dt, mu_f=mu_f, use_pallas_rhs=use_pallas_rhs,
         use_pallas_rk4=use_pallas_rk4, pallas_rk4_fn=pallas_rk4_fn,
-        pallas_rk4_kwargs=pallas_rk4_kwargs,
+        pallas_rk4_kwargs=pallas_rk4_kwargs, periodic=periodic,
     )
     return u_new, v_new, sxx_s, sxy_s, syy_s, J_s
 
@@ -293,7 +312,7 @@ def momentum_core(
     u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,
     f_ext_x, f_ext_y, mkv, velocity_bc, *, eta_s, dx, dy, dt, mu_f,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
-    ext_is_zero=False, pallas_rk4_kwargs=None,
+    ext_is_zero=False, pallas_rk4_kwargs=None, periodic=False,
 ):
     """RK4 velocity update from pre-blended fields.
 
@@ -325,6 +344,14 @@ def momentum_core(
             **(pallas_rk4_kwargs or {}),
         )
 
+    if periodic:
+        from pyrmt_tpu.ops.fd import (
+            grad_central_x_2nd_periodic as gx2,
+            grad_central_y_2nd_periodic as gy2,
+        )
+    else:
+        gx2, gy2 = grad_central_x_2nd, grad_central_y_2nd
+
     def rhs(u_stage, v_stage):
         u_stage, v_stage = velocity_bc(u_stage, v_stage)
         sxx, sxy, syy = sig_sxx_el, sig_sxy_el, sig_syy_el
@@ -333,14 +360,14 @@ def momentum_core(
             # entering through the same (1-H_i) blend as the elastic stress
             # (pyRMT/functions.py:639-651); the per-solid masks enter linearly
             # so the summed mask ``mkv`` is exact.
-            du_dx = grad_central_x_2nd(u_stage, dx)
-            dv_dy = grad_central_y_2nd(v_stage, dy)
-            du_dy = grad_central_y_2nd(u_stage, dy)
-            dv_dx = grad_central_x_2nd(v_stage, dx)
+            du_dx = gx2(u_stage, dx)
+            dv_dy = gy2(v_stage, dy)
+            du_dy = gy2(u_stage, dy)
+            dv_dx = gx2(v_stage, dx)
             sxx = sxx + mkv * (eta_s * du_dx)
             syy = syy + mkv * (eta_s * dv_dy)
             sxy = sxy + mkv * (eta_s * 0.5 * (du_dy + dv_dx))
-        if use_pallas_rhs:
+        if use_pallas_rhs and not periodic:
             from pyrmt_tpu.kernels.momentum_rhs import velocity_rhs_blended_pallas
 
             return velocity_rhs_blended_pallas(
@@ -349,7 +376,7 @@ def momentum_core(
             )
         return velocity_rhs_blended(
             u_stage, v_stage, p, sxx, sxy, syy, dx, dy, mu_f, Hf, rho_local,
-            f_ext_x, f_ext_y,
+            f_ext_x, f_ext_y, periodic=periodic,
         )
 
     k1u, k1v = rhs(u, v)

@@ -719,6 +719,7 @@ def make_step(
                                  or has_gravity),
                 pallas_rk4_kwargs=(
                     {"slab_halo": True} if cfg.kernel_slab_halo else None),
+                periodic=cfg.bc_type == "periodic",
             )
 
             proj_out = pressure_projection(
@@ -867,6 +868,7 @@ def make_step(
             pallas_rk4_fn=momentum_rk4_impl,
             pallas_rk4_kwargs=(
                 {"slab_halo": True} if cfg.kernel_slab_halo else None),
+            periodic=cfg.bc_type == "periodic",
         )
 
         # (5b) map rebasing: reset folding maps to the identity against a

@@ -322,3 +322,35 @@ def test_sharded_pallas_long_horizon_matches_single_device():
     assert np.allclose(np.asarray(out.p), np.asarray(ref.p), atol=1e-9)
     assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-10)
     assert np.allclose(np.asarray(out.X2), np.asarray(ref.X2), atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_periodic_step_matches_single_device():
+    """Round-4: the doubly-periodic step under GSPMD — the FFT solve's
+    all-to-alls, the periodic wrap stencils' halo exchanges, and the
+    overlap-row/col BC all partition correctly (nothing periodic was ever
+    sharded before this test). Multi-step so the incremental pressure
+    feedback path is exercised too."""
+    from pyrmt_tpu.bcs import periodic_bc
+    from pyrmt_tpu.parallel import make_mesh, make_sharded_step
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_f=0.01, rho_f=1.0, bc_type="periodic",
+                    CFL=0.3, dt_min_cap=1e-3)
+    X, Y = g.coords(dtype=jnp.float64)
+    u0 = 0.5 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v0 = -0.5 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+
+    step1 = make_step(cfg, periodic_bc, (), dtype=jnp.float64)
+    ref = make_init_state(cfg, (), u0=u0, v0=v0, dtype=jnp.float64)
+
+    mesh = make_mesh(jax.devices()[:8])
+    stepN, shard = make_sharded_step(cfg, periodic_bc, (), mesh,
+                                     dtype=jnp.float64)
+    out = shard(ref)
+    for _ in range(3):
+        ref, _ = step1(ref, jnp.asarray(1.0))
+        out, _ = stepN(out, jnp.asarray(1.0))
+    assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-10)
+    assert np.allclose(np.asarray(out.v), np.asarray(ref.v), atol=1e-10)
+    assert np.allclose(np.asarray(out.p), np.asarray(ref.p), atol=1e-9)

@@ -83,3 +83,20 @@ def test_gate_sedimentation_pack_small():
     assert s["ybar_monotone"]
     assert s["cg_iters_max"] < 100
     assert s["area_drift"] < 0.05
+
+
+def test_gate_periodic_taylor_green_decay():
+    """Round-4 gate: the doubly-periodic stack must track the analytic
+    Taylor-Green viscous decay (measured 0.30% rate error at N=65 f64,
+    gate 1%) and hold the solver-level divergence. The upstream code blows
+    up at t~0.1 on this exact protocol (its momentum stencils stay
+    one-sided at the ring; benchmarks/upstream_rerun/run_periodic_tg.py),
+    so this gate also pins the docs/DESIGN.md #10 deviation."""
+    from benchmarks.periodic_taylor_green import run
+
+    _, s = run(N=65, nu=0.01, t_end=0.5, dtype="float64", verbose=False,
+               log_every=100, out_root="/tmp/gate_outputs")
+    assert s["stable"]
+    assert s["rate_rel_err"] < 1e-2, s
+    assert s["profile_rel_err"] < 5e-3, s
+    assert s["maxdiv"] < 1e-6, s
