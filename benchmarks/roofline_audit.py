@@ -50,6 +50,50 @@ def _setup(dtype):
     return g, cfg, phi_init, state
 
 
+_FLOPPY = {"add", "sub", "mul", "div", "max", "min", "sqrt", "rsqrt", "sin",
+           "cos", "exp", "log", "pow", "integer_pow", "atan2", "rem", "clamp"}
+_ELEMWISE = _FLOPPY | {"select_n", "and", "or", "not", "xor", "lt", "le",
+                       "gt", "ge", "eq", "ne", "neg", "abs", "sign",
+                       "floor", "ceil", "round", "convert_element_type"}
+
+
+def _count_jaxpr(jaxpr):
+    """Algorithmic op count from the jaxpr: each elementwise primitive
+    counts its output size once (so shift-add structure is counted as
+    written — HLO cost analysis inflates the conv-style lowerings ~20x),
+    dot_general counts 2MNK. Returns (arith_flops, total_elementwise_ops) —
+    the second includes selects/compares, which consume VPU issue slots
+    like flops do."""
+    import numpy as np
+
+    flops = 0
+    ops = 0
+    for eqn in jaxpr.eqns:
+        subs = [p for p in eqn.params.values() if hasattr(p, "jaxpr")]
+        if subs:
+            for p in subs:
+                inner = p.jaxpr if hasattr(p.jaxpr, "eqns") else p
+                f2, o2 = _count_jaxpr(inner)
+                flops += f2
+                ops += o2
+            continue
+        prim = eqn.primitive.name
+        size = sum(int(np.prod(ov.aval.shape)) for ov in eqn.outvars)
+        if prim in _FLOPPY:
+            flops += size
+        if prim in _ELEMWISE:
+            ops += size
+        if prim == "dot_general":
+            a = eqn.invars[0].aval.shape
+            b = eqn.invars[1].aval.shape
+            dims = eqn.params["dimension_numbers"]
+            K = int(np.prod([a[i] for i in dims[0][0]]))
+            mnk = 2 * (int(np.prod(a)) // K) * (int(np.prod(b)) // K) * K
+            flops += mnk
+            ops += mnk
+    return flops, ops
+
+
 def flops_audit():
     """CPU: count each component's algorithmic flops from its XLA twin."""
     import jax
@@ -65,8 +109,8 @@ def flops_audit():
     dt = jnp.asarray(1e-3, dtype)
 
     def cost(f, *args):
-        c = jax.jit(f).lower(*args).compile().cost_analysis()
-        return float(c["flops"]), float(c.get("bytes accessed", 0.0))
+        f2, o2 = _count_jaxpr(jax.make_jaxpr(f)(*args).jaxpr)
+        return float(f2), float(o2)
 
     # --- RMT block twin (rebuild -> advect -> extrapolate -> rebuild ->
     # stress -> Heaviside/blends), exactly sim.make_step's XLA path ---------
@@ -91,7 +135,7 @@ def flops_audit():
         return (X1e, X2e, phi2, sxx, sxy, syy, J, Hf, rho,
                 (1 - H) * sxx, (1 - H) * sxy, (1 - H) * syy)
 
-    f_rmt, b_rmt = cost(rmt_twin, u, v, state.X1, state.X2, dt)
+    f_rmt, o_rmt = cost(rmt_twin, u, v, state.X1, state.X2, dt)
 
     # --- momentum core twin (pre-blended inputs, 4-stage RK4) ---------------
     from pyrmt_tpu.bcs import make_lid_bc
@@ -107,7 +151,7 @@ def flops_audit():
             eta_s=0.0, dx=dx, dy=dy, dt=dt, mu_f=cfg.mu_f,
             ext_is_zero=True)
 
-    f_mom, b_mom = cost(mom_twin, u, v, p, zero, zero, zero, one, one)
+    f_mom, o_mom = cost(mom_twin, u, v, p, zero, zero, zero, one, one)
 
     # --- DCT Poisson solve (matmul lowering — what runs on TPU) -------------
     from pyrmt_tpu.ops.poisson import (
@@ -122,7 +166,7 @@ def flops_audit():
     def dct_twin(rhs):
         return solve_poisson_dct(rhs, eig, dct_mats=mats)
 
-    f_dct, b_dct = cost(dct_twin, p)
+    f_dct, o_dct = cost(dct_twin, p)
 
     # --- full projection (Rhie-Chow + DCT + correction) ---------------------
     from pyrmt_tpu.ops.projection import pressure_projection
@@ -132,7 +176,7 @@ def flops_audit():
             u, v, dx, dy, dt, rho, bc, p_prev=p, eigenvalues=eig,
             bc_type="neumann", dct_mats=mats)
 
-    f_proj, b_proj = cost(proj_twin, u, v, p, one)
+    f_proj, o_proj = cost(proj_twin, u, v, p, one)
 
     # --- analytic HBM bytes of the fused kernels (BlockSpec shapes) ---------
     fb = N * N * 4  # one f32 field
@@ -146,22 +190,22 @@ def flops_audit():
 
     halo_f_rmt = (tile_rmt + 2 * halo_rmt) / tile_rmt
     halo_f_mom = (tile_mom + 2 * halo_mom) / tile_mom
-    print(f"# Roofline audit N={N}, S={S}, f32 (flops from XLA-twin HLO "
-          f"cost analysis)")
+    print(f"# Roofline audit N={N}, S={S}, f32 (algorithmic jaxpr op counts"
+          f" of the XLA twins)")
     rows = [
-        ("RMT block twin", f_rmt, rmt_in + rmt_out, halo_f_rmt),
-        ("momentum RK4 twin", f_mom, mom_in + mom_out, halo_f_mom),
-        ("DCT solve (8N^3 matmuls)", f_dct, dct_bytes, 1.0),
-        ("full projection", f_proj, None, 1.0),
+        ("RMT block twin", f_rmt, o_rmt, rmt_in + rmt_out, halo_f_rmt),
+        ("momentum RK4 twin", f_mom, o_mom, mom_in + mom_out, halo_f_mom),
+        ("DCT solve (8N^3 matmuls)", f_dct, o_dct, dct_bytes, 1.0),
+        ("full projection", f_proj, o_proj, None, 1.0),
     ]
-    for name, fl, byt, hf in rows:
-        line = (f"{name:28s} flops {fl/1e9:7.2f} GF  x halo recompute "
-                f"{hf:5.3f} = {fl*hf/1e9:7.2f} GF")
+    for name, fl, op, byt, hf in rows:
+        line = (f"{name:28s} flops {fl/1e9:7.2f} GF (all-elementwise "
+                f"{op/1e9:6.2f} Gop)  x halo {hf:5.3f} = "
+                f"{fl*hf/1e9:7.2f} GF")
         if byt is not None:
             line += f"   HBM bytes/call {byt/1e6:6.1f} MB"
         print(line)
-    print(f"analytic DCT flops 8N^3 = {8*N**3/1e9:.2f} GF "
-          f"(cost-analysis flops include the eigdivide/demean elementwise)")
+    print(f"analytic DCT matmul flops 8N^3 = {8*N**3/1e9:.2f} GF")
 
 
 def trace_audit(n=N, steps=50):
@@ -197,26 +241,31 @@ def trace_audit(n=N, steps=50):
     latest = max(files, key=os.path.getmtime)
     with gzip.open(latest, "rt") as f:
         trace = json.load(f)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and "dur" in e]
-    # keep only device-lane events (TensorCore PIDs have 'XLA Op' level
-    # names; host threads dominate count but carry python names)
     import collections
-    pid_names = {}
+    import re
+
+    pid_names, tid_names = {}, {}
     for e in trace["traceEvents"]:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, nm in pid_names.items()
-                if "TPU" in nm or "Device" in nm or "/device" in nm}
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    # the device's 'XLA Ops' lane holds the leaf-op spans; 'XLA Modules'
+    # and host lanes hold enclosing/dispatch spans
+    op_lanes = {k for k, nm in tid_names.items()
+                if nm == "XLA Ops" and "TPU" in pid_names.get(k[0], "")}
     agg = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e["pid"] in dev_pids:
-            agg[e["name"]] += e["dur"]
-            total += e["dur"]
-    print(f"# device busy {total/1e3/steps:.3f} ms/step over {steps} steps "
-          f"({latest})")
-    for name, dur in agg.most_common(15):
+    for e in trace.get("traceEvents", []):
+        if (e.get("ph") == "X" and "dur" in e
+                and (e["pid"], e["tid"]) in op_lanes):
+            name = re.sub(r"\.\d+$", "", e["name"])
+            if name.startswith("jit_") or name == "while":
+                continue  # enclosing spans, not leaf ops
+            agg[name] += e["dur"]
+    total = sum(agg.values())
+    print(f"# device leaf-op busy {total/1e3/steps:.3f} ms/step over "
+          f"{steps} steps ({latest})")
+    for name, dur in agg.most_common(20):
         print(f"{dur/1e3/steps:8.4f} ms/step  {name}")
 
 
