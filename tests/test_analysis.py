@@ -101,3 +101,36 @@ def test_plot_scripts_render(tmp_path):
                delimiter=",", header="t,cx,cy", comments="")
     out = plot_centroid.run(str(d), out_path=str(tmp_path / "c.png"))
     assert os.path.isfile(out)
+
+
+def test_soft_disc_panels_render(tmp_path):
+    """The rewritten L4 panels script renders both figure kinds from tiny
+    synthetic snapshots (round-4 hygiene rewrite — output-semantics parity
+    with the reference's post-processing, independent structure)."""
+    import numpy as np
+
+    from benchmarks.plot_soft_disc_panels import (
+        SnapshotSeries,
+        render_interface_comparison,
+        render_run_panels,
+    )
+    from pyrmt_tpu.io import save_snapshot
+
+    dirs = []
+    for name, n in (("a", 24), ("b", 32)):
+        d = tmp_path / name
+        d.mkdir()
+        x = np.linspace(0, 1, n)
+        X, Y = np.meshgrid(x, x)
+        for k, t in enumerate([0.5, 1.0]):
+            save_snapshot(
+                str(d / f"snap_t{k}.npz"),
+                dict(phi=np.hypot(X - 0.5, Y - 0.5) - 0.2, a=np.sin(X),
+                     b=np.cos(Y), X1=X, X2=Y),
+                attrs=dict(t=t, t_target=t))
+        dirs.append((name, str(d)))
+    p1 = tmp_path / "panels.png"
+    p2 = tmp_path / "overlay.png"
+    render_run_panels(SnapshotSeries(dirs[0][1]), "t", str(p1))
+    render_interface_comparison(dirs, str(p2))
+    assert p1.stat().st_size > 10_000 and p2.stat().st_size > 10_000
