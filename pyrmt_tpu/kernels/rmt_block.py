@@ -184,8 +184,12 @@ def _bicubic_local(fields, masks, sx, sy, gx, gy, Nx, Ny):
 
     # bilinear fallback for band-guarded cells: gather_bicubic_local calls
     # its fallback with the already-clamped displacements; the re-clamp
-    # inside _bilinear_local is idempotent, so this matches bitwise
-    bilin = _bilinear_local(fields, sx, sy, gx, gy, Nx, Ny)
+    # inside _bilinear_local is idempotent, so this matches bitwise. Elided
+    # entirely when no field carries a guard mask (raw bicubic).
+    if any(m is not None for m in masks):
+        bilin = _bilinear_local(fields, sx, sy, gx, gy, Nx, Ny)
+    else:
+        bilin = [None] * len(fields)
 
     out = []
     ks = (-2, -1, 0, 1, 2)

@@ -206,13 +206,19 @@ def test_sharded_bicubic_step_matches_single_device():
     assert np.allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-8)
     assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-8)
 
-    # an explicit fused-kernel request must fail loudly for a bicubic config
-    # (the RMT-block kernel is bilinear-only), not silently downgrade
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        make_sharded_step(cfg, free_slip_box_bc, (phi_init,), mesh,
-                          dtype=jnp.float64, rmt_method="pallas")
+    # round 4: bicubic is fused into the RMT-block kernel, so the explicit
+    # shard_map Pallas request now ENGAGES (per-shard kernel + 2D halo
+    # exchange, interpret mode on CPU) — and must match too. The kernel's
+    # explicit global-index stencil clipping is what makes the domain-edge
+    # taps correct against the zero exchange halos of edge shards.
+    stepP, shardP = make_sharded_step(cfg, free_slip_box_bc, (phi_init,),
+                                      mesh, dtype=jnp.float64,
+                                      rmt_method="pallas", interpret=True)
+    outP = shardP(state)
+    for _ in range(2):
+        outP, _ = stepP(outP, jnp.asarray(1.0))
+    assert np.allclose(np.asarray(outP.u), np.asarray(ref.u), atol=1e-8)
+    assert np.allclose(np.asarray(outP.X1), np.asarray(ref.X1), atol=1e-8)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
