@@ -250,6 +250,12 @@ if __name__ == "__main__":
     if "--hf" in sys.argv:
         overrides["st_curvature"] = "hf"
         tag = "hf"
+    if "--hf-smooth" in sys.argv:
+        # stabilised height-function estimator (RMTConfig.st_hf_smooth):
+        # tangential height filtering + convex validity/orientation blend
+        overrides["st_curvature"] = "hf"
+        overrides["st_hf_smooth"] = 2
+        tag = "hfsmooth"
     if "--reinit" in sys.argv:
         overrides["reinit_method"] = "fmm"
         tag = (tag + "_reinit") if tag else "reinit"

@@ -25,7 +25,7 @@ import numpy as np
 
 def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
         dtype="float32", log_every=200, verbose=True, st_method="csf",
-        kappa_interface=False, curvature="fd"):
+        kappa_interface=False, curvature="fd", hf_smooth=0):
     """``st_method``: 'csf' (reference-parity cell-centred CSF) or
     'balanced' (face-sampled balanced-force CSF, physics.balanced_csf_forces);
     ``kappa_interface`` additionally projects curvature to its nearest-
@@ -84,7 +84,7 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
         H_stack = smoothed_heaviside(phi[None], w_t)
         fxc, fyc, Fxf, Fyf = balanced_csf_forces(
             phi[None], H_stack, dx, dy, gamma, kappa_interface=kappa_interface,
-            curvature=curvature, w_t=w_t)
+            curvature=curvature, w_t=w_t, hf_smooth=hf_smooth)
         st_faces = (Fxf, Fyf, fxc, fyc)
 
         @jax.jit
@@ -137,6 +137,8 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
         "_balanced_kstar" if kappa_interface else "_balanced")
     if curvature != "fd":
         suffix += f"_{curvature}"
+        if hf_smooth:
+            suffix += f"s{hf_smooth}"
     out_dir = ensure_dir(
         os.path.join(out_root, f"surface_tension_drop_N{N}{suffix}"))
     log.to_csv(os.path.join(out_dir, "laplace_history.csv"))
@@ -160,12 +162,15 @@ if __name__ == "__main__":
 
     st_method = "balanced" if "--balanced" in sys.argv else "csf"
     kappa_interface = "--kstar" in sys.argv
-    curvature = "hf" if "--hf" in sys.argv else "fd"
+    hf_smooth = 2 if "--hf-smooth" in sys.argv else 0
+    curvature = ("hf" if ("--hf" in sys.argv or hf_smooth) else "fd")
     argv = [a for a in sys.argv[1:]
-            if a not in ("--f64", "--balanced", "--kstar", "--hf")]
+            if a not in ("--f64", "--balanced", "--kstar", "--hf",
+                         "--hf-smooth")]
     N = int(argv[0]) if len(argv) > 0 else 128
     gamma = float(argv[1]) if len(argv) > 1 else 0.1
     R = float(argv[2]) if len(argv) > 2 else 0.25
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     run(N=N, gamma=gamma, R=R, dtype=dtype, st_method=st_method,
-        kappa_interface=kappa_interface, curvature=curvature)
+        kappa_interface=kappa_interface, curvature=curvature,
+        hf_smooth=hf_smooth)

@@ -80,10 +80,16 @@ def sharp_solid_fraction(phi, dx, dy):
     F1 = a * a / (2.0 * lo * hi)                   # corner triangle
     F2 = (a - 0.5 * lo) / hi                       # parallel band
     F3 = 1.0 - (mtot - a) ** 2 / (2.0 * lo * hi)   # complement triangle
-    return jnp.where(a < lo, F1, jnp.where(a <= hi, F2, F3))
+    F = jnp.where(a < lo, F1, jnp.where(a <= hi, F2, F3))
+    # Degenerate (exactly flat) gradients make hi = 0 and select F1 = 0/0:
+    # the analytically rebuilt phi is CONSTANT beyond the extrapolated band
+    # (sim.rebuild_phis clamps the far field), so this is a real input, not
+    # a pathological one. The fraction there is the sign indicator.
+    flat = mtot <= 1e-6 * (dx + dy)
+    return jnp.where(flat, jnp.where(phi < 0.0, 1.0, 0.0), F)
 
 
-def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback):
+def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback, smooth=0):
     """Height-function curvature (BEYOND REFERENCE — the "better curvature
     estimate" the reference names, together with the balanced-force CSF, as
     the open fix for its fragile coupled surface-tension case; upstream
@@ -99,6 +105,28 @@ def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback):
 
     (Cummins, Francois & Kothe 2005) — positive for a convex solid/drop,
     matching ``compute_curvature``'s div(grad phi/|grad phi|) convention.
+
+    ``smooth`` (static, default 0 = the original estimator) enables the
+    COUPLED-FLOW stabilisation: the raw estimator is measured to
+    destabilise the coupled capillary case at t~0.44 (benchmarks/README.md,
+    Estimator arbitration) through two jaggedness channels that a moving,
+    rebuilt phi keeps re-exciting — (a) cell-to-cell noise in the sharp
+    fractions entering h'' with a 1/dx^2 amplification, and (b) hard
+    per-cell switches of the orientation (45-degree normals) and of the
+    validity cascade, each an O(1) kappa jump that flickers step to step.
+    With ``smooth = s > 0``:
+      * the column heights are filtered ``s`` times with a tangential
+        [1,2,1]/4 pass BEFORE differencing. The filter is linear-exact
+        (a straight interface at any slope has affine heights, which the
+        filter preserves, so kappa stays exactly 0) and keeps the O(dx^2)
+        order (the filter adds a (dx^2/4) h'' perturbation);
+      * the hard orientation/validity switches become a CONVEX BLEND:
+        per-orientation validity ramps w in [0,1] over the bracketing
+        margin (0 at the old 0.81 product threshold, 1 at 0.90) times a
+        smooth orientation weight q = phi_y^2/|grad phi|^2, with the
+        leftover weight 1 - sum(w_i q_i) falling to ``kappa_fallback`` —
+        the estimate varies continuously as the interface rotates or a
+        column's bracket degrades, instead of jumping.
     Two properties matter for the balanced CSF: the estimate lives AT the
     interface (constant along the column/normal — no 1/(R+phi) band bias to
     project away), and for a straight interface at ANY slope it is exactly
@@ -132,13 +160,42 @@ def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback):
         axis=0)
     h = sum(cpv[k:k + Ny, :] for k in range(W)) * dy
     m_v = cpv[0:Ny, :] - cpv[2 * hh:2 * hh + Ny, :]   # c(bottom) - c(top)
+    for _ in range(smooth):       # tangential [1,2,1]/4 passes (see docstring)
+        hs = jnp.concatenate([h[:, :1], h, h[:, -1:]], axis=1)
+        h = 0.25 * (hs[:, :-2] + 2.0 * h + hs[:, 2:])
     hp = jnp.concatenate([h[:, :1], h, h[:, -1:]], axis=1)
     h_x = (hp[:, 2:] - hp[:, :-2]) / (2.0 * dx)
     h_xx = (hp[:, 2:] - 2.0 * h + hp[:, :-2]) / (dx * dx)
     kap_v = -h_xx / (one + h_x * h_x) ** 1.5
-    mvp = jnp.concatenate([m_v[:, :1], m_v, m_v[:, -1:]], axis=1)
-    thr = jnp.asarray(0.81, c.dtype)   # |m| > 0.9 on all three, same sign
-    valid_v = (mvp[:, :-2] * m_v > thr) & (m_v * mvp[:, 2:] > thr)
+
+    # validity footprint: the +-1 difference stencil plus one column per
+    # smoothing pass — every height the estimate READS must come from a
+    # fully bracketing column, or the filter imports a clipped column's
+    # corruption past the classic 3-column check (measured on a slope-0.9
+    # line near the domain edge; tests/test_curvature.py pins exact zero)
+    fp = 1 + smooth
+    thr = jnp.asarray(0.81, c.dtype)   # |m| > 0.9 on all columns, same sign
+
+    def _fp_min_products(m, axis):
+        pads = [m]
+        for k in range(1, fp + 1):
+            pads.append(jnp.roll(m, k, axis=axis))
+            pads.append(jnp.roll(m, -k, axis=axis))
+        # edge columns/rows: roll wraps, but the first/last fp ring is
+        # domain boundary where heights are edge-replicated anyway — mask
+        # it invalid explicitly below
+        mm = m * pads[1]
+        for q in pads[2:]:
+            mm = jnp.minimum(mm, m * q)
+        idx = jnp.arange(m.shape[axis])
+        interior = (idx >= fp) & (idx < m.shape[axis] - fp)
+        shape = [1, 1]
+        shape[axis] = m.shape[axis]
+        interior = interior.reshape(shape)
+        return jnp.where(interior, mm, jnp.asarray(-1.0, m.dtype))
+
+    mm_v = _fp_min_products(m_v, axis=1)
+    valid_v = mm_v > thr
 
     # --- horizontal columns: heights g(y) = sum_k c[i, j+k] * dx ----------
     cph = jnp.concatenate(
@@ -146,23 +203,54 @@ def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback):
         axis=1)
     gsum = sum(cph[:, k:k + Nx] for k in range(W)) * dx
     m_h = cph[:, 0:Nx] - cph[:, 2 * hh:2 * hh + Nx]
+    for _ in range(smooth):
+        gs = jnp.concatenate([gsum[:1, :], gsum, gsum[-1:, :]], axis=0)
+        gsum = 0.25 * (gs[:-2, :] + 2.0 * gsum + gs[2:, :])
     gp = jnp.concatenate([gsum[:1, :], gsum, gsum[-1:, :]], axis=0)
     g_y = (gp[2:, :] - gp[:-2, :]) / (2.0 * dy)
     g_yy = (gp[2:, :] - 2.0 * gsum + gp[:-2, :]) / (dy * dy)
     kap_h = -g_yy / (one + g_y * g_y) ** 1.5
-    mhp = jnp.concatenate([m_h[:1, :], m_h, m_h[-1:, :]], axis=0)
-    valid_h = (mhp[:-2, :] * m_h > thr) & (m_h * mhp[2:, :] > thr)
+    mm_h = _fp_min_products(m_h, axis=0)
+    valid_h = mm_h > thr
 
-    # --- orientation cascade ----------------------------------------------
     phi_x = grad_central_x_2nd(phi, dx)
     phi_y = grad_central_y_2nd(phi, dy)
+    cap = jnp.asarray(1.0 / min(dx, dy), c.dtype)
+
+    if smooth:
+        # --- convex validity/orientation blend (see docstring) ------------
+        # The ramp spans [0.9025, 0.98] (vs the hard cascade's 0.81 accept
+        # threshold): a column whose window only MARGINALLY brackets the
+        # transition has clipped (non-affine) heights, and unlike the hard
+        # cascade — which hides a marginal non-preferred orientation behind
+        # the preferred one — the blend would leak its corrupted estimate.
+        # Zero weight below a solid bracket keeps the straight-interface
+        # kappa exactly 0 (pinned in tests/test_curvature.py); the lost
+        # cells fall back gracefully to the fd/kappa* estimate.
+        lo = jnp.asarray(0.9025, c.dtype)
+        full = jnp.asarray(0.98, c.dtype)
+        w_v = jnp.clip((mm_v - lo) / (full - lo), 0.0, 1.0)
+        w_h = jnp.clip((mm_h - lo) / (full - lo), 0.0, 1.0)
+        g2 = phi_x * phi_x + phi_y * phi_y + jnp.asarray(1e-30, c.dtype)
+        qv = phi_y * phi_y / g2
+        wv = w_v * qv
+        wh = w_h * (one - qv)
+        # zero-weight terms must not leak non-finite column estimates
+        # (0 * inf = nan) — unlike the hard cascade's where, a convex
+        # combination reads every operand
+        zero = jnp.zeros_like(kap_v)
+        kap_v = jnp.where(wv > 0.0, kap_v, zero)
+        kap_h = jnp.where(wh > 0.0, kap_h, zero)
+        kap = wv * kap_v + wh * kap_h + (one - wv - wh) * kappa_fallback
+        return jnp.clip(kap, -cap, cap)
+
+    # --- hard orientation cascade (smooth=0, the original estimator) ------
     prefer_v = jnp.abs(phi_y) >= jnp.abs(phi_x)
     kap = jnp.where(
         prefer_v & valid_v, kap_v,
         jnp.where((~prefer_v) & valid_h, kap_h,
                   jnp.where(valid_v, kap_v,
                             jnp.where(valid_h, kap_h, kappa_fallback))))
-    cap = jnp.asarray(1.0 / min(dx, dy), c.dtype)
     return jnp.clip(kap, -cap, cap)
 
 

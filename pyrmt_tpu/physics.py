@@ -117,13 +117,16 @@ def velocity_rhs_blended(
     return rhs_u, rhs_v
 
 
-def _solid_curvature(phi, dx, dy, w_t, curvature, kappa_interface):
+def _solid_curvature(phi, dx, dy, w_t, curvature, kappa_interface,
+                     hf_smooth=0):
     """One solid's curvature field under the configured estimator cascade:
     finite-difference div(grad phi/|grad phi|) (reference parity), optionally
     interface-projected (kappa* — see balanced_csf_forces), optionally
     replaced by the height-function estimate where its columns are valid
     (ops/levelset.py:compute_curvature_hf; the fd/kappa* value is its
-    fallback)."""
+    fallback). ``hf_smooth`` > 0 enables the height-function estimator's
+    coupled-flow stabilisation (tangential height filtering + convex
+    validity/orientation blend — see compute_curvature_hf)."""
     import numpy as np
 
     kap = compute_curvature(phi, dx, dy)
@@ -136,12 +139,12 @@ def _solid_curvature(phi, dx, dy, w_t, curvature, kappa_interface):
         from pyrmt_tpu.ops.levelset import compute_curvature_hf
 
         hh = max(3, int(np.ceil(np.sqrt(2.0) * w_t / min(dx, dy))) + 2)
-        kap = compute_curvature_hf(phi, dx, dy, hh, kap)
+        kap = compute_curvature_hf(phi, dx, dy, hh, kap, smooth=hf_smooth)
     return kap
 
 
 def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t,
-                    curvature="fd", kappa_interface=False):
+                    curvature="fd", kappa_interface=False, hf_smooth=0):
     """CSF surface tension + pairwise repulsive contact, constant over the
     RK4 stages (parity: pyRMT/functions.py:621-628 and :785-816)."""
     S = phis.shape[0]
@@ -151,7 +154,7 @@ def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t,
     if gamma > 1e-12:
         for i in range(S):
             kap = _solid_curvature(phis[i], dx, dy, w_t, curvature,
-                                   kappa_interface)
+                                   kappa_interface, hf_smooth=hf_smooth)
             dH_dx = grad_central_x_2nd(H_s[i], dx)
             dH_dy = grad_central_y_2nd(H_s[i], dy)
             f_ext_x = f_ext_x - gamma * kap * dH_dx
@@ -167,7 +170,8 @@ def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t,
 
 
 def balanced_csf_forces(phis, H_s, dx, dy, gamma, kappas=None,
-                        kappa_interface=False, curvature="fd", w_t=None):
+                        kappa_interface=False, curvature="fd", w_t=None,
+                        hf_smooth=0):
     """Balanced-force CSF (Francois et al. 2006 adapted to this collocated
     Rhie-Chow scheme): the capillary force is sampled COMPACTLY at faces
     with the same discrete gradient the face pressure jump uses,
@@ -229,7 +233,7 @@ def balanced_csf_forces(phis, H_s, dx, dy, gamma, kappas=None,
                 kap = kap / den
         else:
             kap = _solid_curvature(phis[i], dx, dy, w_t, curvature,
-                                   kappa_interface)
+                                   kappa_interface, hf_smooth=hf_smooth)
         kx_f = 0.5 * (kap[:, :-1] + kap[:, 1:])
         ky_f = 0.5 * (kap[:-1, :] + kap[1:, :])
         Fx = Fx - gamma * kx_f * (H_s[i][:, 1:] - H_s[i][:, :-1]) / dx
@@ -248,7 +252,7 @@ def momentum_step_rk4_multi(
     mu_s, kappa, eta_s, dx, dy, dt, rho_s, rho_f, mu_f, w_t,
     gamma=0.0, stress_w_cut=0.0, stress_clamp=0.0, k_rep=0.0, w_c=None,
     g_x=0.0, g_y=0.0, g_rho_ref=None, ext_override=None,
-    st_curvature="fd", st_kappa_interface=False,
+    st_curvature="fd", st_kappa_interface=False, st_hf_smooth=0,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
     pallas_rk4_kwargs=None, periodic=False,
 ):
@@ -285,7 +289,8 @@ def momentum_step_rk4_multi(
     else:
         f_ext_x, f_ext_y = external_forces(
             phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t,
-            curvature=st_curvature, kappa_interface=st_kappa_interface)
+            curvature=st_curvature, kappa_interface=st_kappa_interface,
+            hf_smooth=st_hf_smooth)
     if g_x != 0.0 or g_y != 0.0:
         drho = rho_local - (rho_f if g_rho_ref is None else g_rho_ref)
         f_ext_x = f_ext_x + drho * g_x

@@ -116,6 +116,20 @@ class RMTConfig:
                                     # reference — the "better curvature
                                     # estimate" the reference names as its
                                     # open follow-up
+    st_hf_smooth: int = 0           # > 0 stabilises 'hf' for COUPLED moving
+                                    # interfaces: that many tangential
+                                    # [1,2,1]/4 passes on the column heights
+                                    # (linear-exact — straight interfaces
+                                    # keep kappa = 0 exactly) plus a convex
+                                    # validity/orientation blend replacing
+                                    # the raw estimator's hard per-cell
+                                    # switches, whose flicker under a
+                                    # deforming rebuilt phi is what fed the
+                                    # parasitic-current loop (raw 'hf'
+                                    # diverges at t~0.44 on the coupled
+                                    # capillary case; see
+                                    # compute_curvature_hf and
+                                    # benchmarks/README.md)
     g_x: float = 0.0               # gravitational acceleration; enters the
     g_y: float = 0.0                # momentum RHS as the BUOYANCY body force
                                     # (rho_local - g_rho_ref) * g — the
@@ -418,22 +432,26 @@ def make_step(
         raise ValueError(f"unknown st_method {cfg.st_method!r}")
     if cfg.st_curvature not in ("fd", "hf"):
         raise ValueError(f"unknown st_curvature {cfg.st_curvature!r}")
-    if cfg.st_curvature == "hf" and cfg.gamma > 1e-12 and S > 0:
+    if (cfg.st_curvature == "hf" and cfg.gamma > 1e-12 and S > 0
+            and cfg.st_hf_smooth == 0):
         # make_step IS the coupled moving-interface path (the static-drop
-        # driver bypasses it): under the deforming rebuilt phi the height-
-        # function estimator's jagged per-cell kappa feeds the parasitic
-        # loop faster than the smooth fd/kappa* band estimate — measured
-        # divergence at t~0.44 on the coupled capillary case with or
-        # without reinit (benchmarks/README.md, Estimator arbitration).
+        # driver bypasses it): under the deforming rebuilt phi the RAW
+        # height-function estimator's jagged per-cell kappa feeds the
+        # parasitic loop faster than the smooth fd/kappa* band estimate —
+        # measured divergence at t~0.44 on the coupled capillary case with
+        # or without reinit (benchmarks/README.md, Estimator arbitration).
+        # st_hf_smooth > 0 is the stabilised variant built for this regime
+        # (tangential height filtering + convex validity/orientation blend)
+        # and does not warn.
         import warnings
 
         warnings.warn(
-            "st_curvature='hf' on a COUPLED moving interface: the height-"
-            "function estimator is measured to destabilise the coupled "
-            "capillary case at t~0.44 (benchmarks/README.md); it is "
-            "validated only for static/prescribed interfaces — use "
-            "st_curvature='fd' with st_kappa_interface=True (kappa*) for "
-            "coupled flows.",
+            "st_curvature='hf' (raw, st_hf_smooth=0) on a COUPLED moving "
+            "interface: the raw height-function estimator is measured to "
+            "destabilise the coupled capillary case at t~0.44 "
+            "(benchmarks/README.md); set st_hf_smooth=2 (the stabilised "
+            "estimator) or use st_curvature='fd' with "
+            "st_kappa_interface=True (kappa*) for coupled flows.",
             stacklevel=2,
         )
     st_balanced = cfg.st_method == "balanced" and cfg.gamma > 1e-12
@@ -674,7 +692,8 @@ def make_step(
                     fxc, fyc, Fxf, Fyf = balanced_csf_forces(
                         phis, H_s, dx, dy, cfg.gamma,
                         kappa_interface=cfg.st_kappa_interface,
-                        curvature=cfg.st_curvature, w_t=cfg.w_t)
+                        curvature=cfg.st_curvature, w_t=cfg.w_t,
+                        hf_smooth=cfg.st_hf_smooth)
                     cfx, cfy = external_forces(
                         phis, H_s, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
                         w_c=cfg.w_c, w_t=cfg.w_t)
@@ -686,7 +705,8 @@ def make_step(
                         phis, H_s, dx, dy, gamma=cfg.gamma, k_rep=cfg.k_rep,
                         w_c=cfg.w_c, w_t=cfg.w_t,
                         curvature=cfg.st_curvature,
-                        kappa_interface=cfg.st_kappa_interface)
+                        kappa_interface=cfg.st_kappa_interface,
+                        hf_smooth=cfg.st_hf_smooth)
             else:
                 f_ext_x = jnp.zeros(g.shape, dtype)
                 f_ext_y = f_ext_x
@@ -848,7 +868,8 @@ def make_step(
             fxc, fyc, Fxf, Fyf = balanced_csf_forces(
                 phis, H_st, dx, dy, cfg.gamma,
                 kappa_interface=cfg.st_kappa_interface,
-                curvature=cfg.st_curvature, w_t=cfg.w_t)
+                curvature=cfg.st_curvature, w_t=cfg.w_t,
+                hf_smooth=cfg.st_hf_smooth)
             cfx, cfy = external_forces(
                 phis, H_st, dx, dy, gamma=0.0, k_rep=cfg.k_rep,
                 w_c=cfg.w_c, w_t=cfg.w_t)
@@ -864,6 +885,7 @@ def make_step(
             ext_override=ext_override,
             st_curvature=cfg.st_curvature,
             st_kappa_interface=cfg.st_kappa_interface,
+            st_hf_smooth=cfg.st_hf_smooth,
             use_pallas_rhs=cfg.use_pallas_rhs, use_pallas_rk4=use_pallas_rk4,
             pallas_rk4_fn=momentum_rk4_impl,
             pallas_rk4_kwargs=(
