@@ -92,6 +92,7 @@ from pyrmt_tpu.sim import (
     check_narrow_band,
     diverged,
     make_init_state,
+    make_rollout,
     make_run_chunk,
     make_step,
     required_extrapolation_layers,

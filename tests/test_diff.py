@@ -1,0 +1,176 @@
+"""Differentiability & batching of the FSI step (BEYOND REFERENCE).
+
+The upstream NumPy/Numba stack (pyRMT/functions.py) has no gradient or
+batching story; here the whole jitted step composes with jax.grad and
+jax.vmap on the XLA compute paths. These tests pin:
+
+  * reverse-mode gradients through a multi-step rollout match central
+    finite differences — w.r.t. a PHYSICS scalar (mu_s, threaded through
+    dataclasses.replace into a re-traced make_step) and w.r.t. the initial
+    condition (velocity amplitude),
+  * make_rollout's remat wrapper is forward-bitwise vs make_run_chunk and
+    gradient-identical to the non-remat rollout,
+  * jax.vmap over a batch of SimStates reproduces sequential runs
+    (ensemble parameter sweeps in ONE compiled program).
+
+All on the CPU/f64 XLA paths (conftest) — the fused Pallas kernels define
+no VJP and are TPU-only defaults.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyrmt_tpu import (
+    Grid,
+    RMTConfig,
+    free_slip_box_bc,
+    make_init_state,
+    make_rollout,
+    make_run_chunk,
+    make_step,
+)
+
+N = 32
+G = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+N_STEPS = 6
+T_END = 1.0  # far beyond n_steps * dt: dt stays == fixed_dt throughout
+
+
+def phi_disc(X1, X2):
+    return jnp.sqrt((X1 - 0.5) ** 2 + (X2 - 0.5) ** 2) - 0.2
+
+
+def base_cfg(**over):
+    kw = dict(
+        grid=G, mu_s=0.3, kappa=0.0, eta_s=0.0, rho_s=1.0, mu_f=0.02,
+        rho_f=1.0, fixed_dt=2.0e-3,
+        # XLA paths everywhere: Pallas kernels have no VJP (they are
+        # TPU-only defaults anyway; on CPU these ARE the defaults — set
+        # explicitly so the contract is visible)
+        extrap_method="xla", rmt_method="xla", momentum_method="xla",
+        dct_method="fft",
+    )
+    kw.update(over)
+    return RMTConfig(**kw)
+
+
+def tg_velocity(amp):
+    X, Y = G.coords(jnp.float64)
+    u = amp * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -amp * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    return u, v
+
+
+def final_energy(state):
+    return jnp.sum(state.u**2 + state.v**2) + jnp.sum(state.p**2)
+
+
+def test_grad_wrt_mu_s_matches_finite_difference():
+    """d(loss)/d(mu_s) through 6 full FSI steps vs central differences.
+
+    mu_s is a static RMTConfig field; differentiating it works by
+    rebuilding the step INSIDE the traced function via dataclasses.replace
+    — the scalar enters the graph multiplicatively (ops/stress.py:118-120,
+    compute_timestep bypassed by fixed_dt), so a tracer works wherever a
+    Python float does.
+    """
+    cfg0 = base_cfg()
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(cfg0, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+
+    def loss(mu_s):
+        cfg = dataclasses.replace(cfg0, mu_s=mu_s)
+        step = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+        roll = make_rollout(step, N_STEPS, remat=True)
+        return final_energy(roll(state0, T_END))
+
+    loss_j = jax.jit(loss)  # ONE compile; FD evals reuse it
+    mu = 0.3
+    g = float(jax.grad(loss)(mu))
+    h = 1e-4
+    fd = (float(loss_j(mu + h)) - float(loss_j(mu - h))) / (2 * h)
+    assert np.isfinite(g) and abs(fd) > 0.0
+    assert abs(g - fd) <= 1e-5 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_grad_wrt_initial_velocity_matches_finite_difference():
+    cfg = base_cfg()
+    bc = free_slip_box_bc
+    step = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+    roll = make_rollout(step, N_STEPS, remat=True)
+
+    def loss(amp):
+        u0, v0 = tg_velocity(amp)
+        state0 = make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                                 dtype=jnp.float64)
+        return final_energy(roll(state0, T_END))
+
+    loss_j = jax.jit(loss)
+    amp = 0.5
+    g = float(jax.grad(loss)(amp))
+    h = 1e-5
+    fd = (float(loss_j(amp + h)) - float(loss_j(amp - h))) / (2 * h)
+    assert abs(g - fd) <= 1e-6 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_rollout_forward_matches_run_chunk_and_remat_grads_agree():
+    cfg = base_cfg()
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+    step = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+
+    # forward parity: remat changes only what the backward pass saves
+    chunk = make_run_chunk(step, N_STEPS)
+    ref_state, _ = chunk(state0, T_END)
+    out = make_rollout(step, N_STEPS, remat=True)(state0, T_END)
+    for name in ("u", "v", "p", "X1", "X2", "t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)),
+            np.asarray(getattr(ref_state, name)), err_msg=name)
+
+    # gradient parity: remat vs plain reverse-mode
+    def make_loss(remat):
+        roll = make_rollout(step, N_STEPS, remat=remat)
+
+        def loss(amp):
+            s0 = dataclasses.replace(state0, u=state0.u * amp,
+                                     v=state0.v * amp)
+            return final_energy(roll(s0, T_END))
+
+        return loss
+
+    g_remat = float(jax.grad(make_loss(True))(1.0))
+    g_plain = float(jax.grad(make_loss(False))(1.0))
+    assert abs(g_remat - g_plain) <= 1e-10 * max(1.0, abs(g_plain))
+
+
+def test_vmap_ensemble_matches_sequential():
+    """An ensemble of initial conditions runs as ONE batched program."""
+    cfg = base_cfg()
+    bc = free_slip_box_bc
+    step = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+    roll = make_rollout(step, N_STEPS, remat=False)
+
+    amps = [0.3, 0.5, 0.7]
+    states = []
+    for a in amps:
+        u0, v0 = tg_velocity(a)
+        states.append(make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                                      dtype=jnp.float64))
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+    out_b = jax.vmap(roll, in_axes=(0, None))(batched, T_END)
+    for i, s0 in enumerate(states):
+        out_i = roll(s0, T_END)
+        for name in ("u", "v", "p", "X1", "X2"):
+            np.testing.assert_allclose(
+                np.asarray(jax.tree_util.tree_map(lambda x: x[i], out_b.__dict__[name])),
+                np.asarray(getattr(out_i, name)),
+                rtol=0, atol=1e-12, err_msg=f"amp={amps[i]} field={name}")
