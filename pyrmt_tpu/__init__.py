@@ -98,6 +98,10 @@ from pyrmt_tpu.sim import (
     required_extrapolation_layers,
     run_until,
 )
+from pyrmt_tpu.diff import (
+    make_diff_rollout,
+    make_diff_step,
+)
 
 __version__ = "0.1.0"
 

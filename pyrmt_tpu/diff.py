@@ -1,0 +1,123 @@
+"""Differentiable step with the FUSED forward (BEYOND REFERENCE).
+
+:func:`sim.make_rollout` documents the baseline gradient story: build the
+step on the XLA compute paths (the fused Pallas kernels define no VJP) and
+reverse-mode AD flows through the whole trajectory. That leaves TPU forward
+speed on the table — the fused RMT-block / momentum kernels are ~3x the XLA
+step (docs/PERFORMANCE.md) but force a config fork between "production
+forward" and "differentiable" runs.
+
+:func:`make_diff_step` closes that fork with ``jax.custom_vjp``:
+
+* **forward** = the config's own step — on TPU that is the fused Pallas
+  path (``rmt_method/momentum_method='auto'``), so rollout *values*, line
+  searches, and forward-only ensemble members run at full fused speed;
+* **backward** = the VJP of the XLA-path step built from the SAME config
+  with only the method knobs flipped (``rmt_method='xla'`` etc.). The two
+  steps are pinned machine-identical (tests/test_pallas.py: 1e-13/1e-14,
+  bitwise for the RMT-block tile skip), so the substituted Jacobian is the
+  true Jacobian up to the same roundoff.
+
+The residuals saved by the custom VJP are just the step's *inputs* (one
+SimState per step), so a ``lax.scan`` rollout over ``dstep`` gets
+checkpoint-level memory for free — no ``jax.checkpoint`` wrapper needed.
+
+Scope: differentiable w.r.t. ``state`` and ``t_end`` only. Physics-scalar
+gradients (mu_s, ...) stay on the XLA path via ``dataclasses.replace``
+(sim.make_rollout docstring; examples/differentiable_fsi.py) — the fused
+kernels bake those scalars as compile-time constants
+(kernels/rmt_block.py ``static_argnames``), so a traced value cannot reach
+the fused forward at all.
+
+The upstream stack (pyRMT/functions.py) has no gradient story; this module
+is pure JAX-architecture upside.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pyrmt_tpu.sim import SimState, make_step
+
+__all__ = ["make_diff_step", "make_diff_rollout"]
+
+# The method knobs that select Pallas lowerings. Everything else (physics,
+# discretisation, BCs) is shared, so the XLA twin computes the same
+# function to roundoff.
+_XLA_OVERRIDES = dict(
+    rmt_method="xla",
+    momentum_method="xla",
+    extrap_method="xla",
+    projection_method="xla",
+    use_pallas_rhs=False,
+)
+
+
+def make_diff_step(
+    cfg,
+    velocity_bc: Callable,
+    phi_inits: Sequence[Callable] = (),
+    dtype=jnp.float32,
+    rmt_block_impl: Callable | None = None,
+    momentum_rk4_impl: Callable | None = None,
+):
+    """Build ``dstep(state, t_end) -> SimState``: fused forward, XLA VJP.
+
+    ``rmt_block_impl`` / ``momentum_rk4_impl`` substitute the fused kernel
+    calls in the FORWARD step (same contract as :func:`sim.make_step`) —
+    used by the tests to run the Pallas kernels in interpret mode on CPU.
+
+    The aux diagnostics dict is dropped: on dt-frozen no-op steps the fused
+    and XLA paths report aux from different (discarded) trial computations
+    (sim.py fused-branch comment), so only the state — which IS pinned
+    identical — participates in the differentiable contract.
+    """
+    if cfg.variable_rho:
+        raise ValueError(
+            "make_diff_step requires variable_rho=False: the variable-rho "
+            "CG projection iterates with lax.while_loop, which has no "
+            "reverse-mode rule (see sim.make_rollout docstring)."
+        )
+    fwd_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
+                         rmt_block_impl=rmt_block_impl,
+                         momentum_rk4_impl=momentum_rk4_impl)
+    xla_step = make_step(dataclasses.replace(cfg, **_XLA_OVERRIDES),
+                         velocity_bc, phi_inits, dtype=dtype)
+
+    @jax.custom_vjp
+    def dstep(state: SimState, t_end):
+        return fwd_step(state, t_end)[0]
+
+    def dstep_fwd(state, t_end):
+        return fwd_step(state, t_end)[0], (state, t_end)
+
+    def dstep_bwd(residuals, ct):
+        state, t_end = residuals
+        _, vjp = jax.vjp(lambda s, t: xla_step(s, t)[0], state, t_end)
+        return vjp(ct)
+
+    dstep.defvjp(dstep_fwd, dstep_bwd)
+    return dstep
+
+
+def make_diff_rollout(dstep, n_steps: int):
+    """``n_steps``-step differentiable rollout over a :func:`make_diff_step`
+    step — one jitted ``lax.scan`` program, O(n_steps * state) backward
+    memory from the custom VJP's input-only residuals (no remat wrapper).
+
+    Values are the fused trajectory; gradients are the XLA twin's,
+    evaluated along it.
+    """
+
+    @jax.jit
+    def rollout(state: SimState, t_end):
+        def body(s, _):
+            return dstep(s, t_end), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return rollout

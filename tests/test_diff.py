@@ -14,9 +14,12 @@ jax.vmap on the XLA compute paths. These tests pin:
     (ensemble parameter sweeps in ONE compiled program).
 
 All on the CPU/f64 XLA paths (conftest) — the fused Pallas kernels define
-no VJP and are TPU-only defaults.
+no VJP and are TPU-only defaults. make_diff_step closes that gap (fused
+forward, XLA-twin VJP): pinned below with the Pallas kernels in interpret
+mode.
 """
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +30,8 @@ from pyrmt_tpu import (
     Grid,
     RMTConfig,
     free_slip_box_bc,
+    make_diff_rollout,
+    make_diff_step,
     make_init_state,
     make_rollout,
     make_run_chunk,
@@ -174,3 +179,78 @@ def test_vmap_ensemble_matches_sequential():
                 np.asarray(jax.tree_util.tree_map(lambda x: x[i], out_b.__dict__[name])),
                 np.asarray(getattr(out_i, name)),
                 rtol=0, atol=1e-12, err_msg=f"amp={amps[i]} field={name}")
+
+
+# ---------------------------------------------------------------------------
+# make_diff_step: fused Pallas forward, XLA-twin backward (diff.py)
+# ---------------------------------------------------------------------------
+
+def _interpret_impls():
+    """The fused kernels in interpret mode — runs the REAL Pallas programs
+    on the CPU backend (same pattern as tests/test_pallas.py)."""
+    from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+    return dict(
+        rmt_block_impl=functools.partial(rmt_block_fused, interpret=True),
+        momentum_rk4_impl=functools.partial(momentum_rk4_pallas,
+                                            interpret=True),
+    )
+
+
+def test_diff_step_forward_is_fused_gradient_is_xla():
+    """dstep's forward IS the fused step (bitwise); its reverse-mode
+    gradient through a rollout matches the pure-XLA rollout's gradient
+    (the substituted Jacobian is the XLA twin's, evaluated along the
+    fused trajectory — pinned machine-identical in test_pallas.py) and
+    central finite differences of the fused forward itself."""
+    n_steps = 4
+    fused_cfg = base_cfg(rmt_method="pallas", momentum_method="pallas")
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(fused_cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+
+    dstep = make_diff_step(fused_cfg, bc, (phi_disc,), dtype=jnp.float64,
+                           **_interpret_impls())
+    fused_step = make_step(fused_cfg, bc, (phi_disc,), dtype=jnp.float64,
+                           **_interpret_impls())
+
+    # forward parity: dstep == the fused step, field for field
+    out_d = dstep(state0, T_END)
+    out_f, _ = fused_step(state0, T_END)
+    for name in ("u", "v", "p", "X1", "X2", "t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_d, name)),
+            np.asarray(getattr(out_f, name)), err_msg=name)
+
+    droll = make_diff_rollout(dstep, n_steps)
+
+    def diff_loss(amp):
+        s0 = dataclasses.replace(state0, u=state0.u * amp,
+                                 v=state0.v * amp)
+        return final_energy(droll(s0, T_END))
+
+    # XLA-everything rollout: the gradient oracle
+    xla_step = make_step(base_cfg(), bc, (phi_disc,), dtype=jnp.float64)
+    xla_roll = make_rollout(xla_step, n_steps, remat=True)
+
+    def xla_loss(amp):
+        s0 = dataclasses.replace(state0, u=state0.u * amp,
+                                 v=state0.v * amp)
+        return final_energy(xla_roll(s0, T_END))
+
+    g_diff = float(jax.grad(diff_loss)(1.0))
+    g_xla = float(jax.grad(xla_loss)(1.0))
+    assert abs(g_diff - g_xla) <= 1e-8 * max(1.0, abs(g_xla)), (g_diff, g_xla)
+
+    # ...and against finite differences of the FUSED forward values
+    loss_j = jax.jit(diff_loss)
+    h = 1e-5
+    fd = (float(loss_j(1.0 + h)) - float(loss_j(1.0 - h))) / (2 * h)
+    assert abs(g_diff - fd) <= 1e-6 * max(1.0, abs(fd)), (g_diff, fd)
+
+
+def test_diff_step_rejects_variable_rho():
+    with pytest.raises(ValueError, match="variable_rho"):
+        make_diff_step(base_cfg(variable_rho=True), free_slip_box_bc,
+                       (phi_disc,), dtype=jnp.float64)
