@@ -238,9 +238,10 @@ def run(N=128, gamma=0.1, R=0.2, ecc=1.15, mu_s=1e-3, mu_f=1e-3,
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     import jax
 
     st_method = "csf" if "--csf" in sys.argv else "balanced"
@@ -279,4 +280,4 @@ if __name__ == "__main__":
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     run(N=N, st_method=st_method, kappa_interface=kstar, dtype=dtype,
         t_end=t_end, cfg_overrides=overrides or None, tag=tag,
-        resume="--resume" in sys.argv)
+        resume="--resume" in sys.argv, out_root=out_root)

@@ -37,6 +37,24 @@ def apply_cli_platform(argv=None):
     setup()  # persistent compile cache (helps most on the TPU path)
 
 
+def cli_out_root(argv=None, default="outputs"):
+    """Consume '--out-root DIR' from argv (sys.argv by default) and return
+    DIR. Lets smoke/verification runs redirect their CSV/NPZ artifacts away
+    from the recorded ones under outputs/ (which are committed evidence).
+    Must run BEFORE positional parsing: the DIR value does not start with
+    '--', so naive flag-stripping would otherwise leave it as a positional.
+    """
+    argv = sys.argv if argv is None else argv
+    if "--out-root" in argv:
+        i = argv.index("--out-root")
+        if i + 1 >= len(argv):
+            raise SystemExit("--out-root requires a directory argument")
+        val = argv[i + 1]
+        del argv[i : i + 2]
+        return val
+    return default
+
+
 def initialize_disc(X, Y, x0, y0, R):
     """Signed-distance level set of a disc (parity: benchmarks/common.py:55-57).
 

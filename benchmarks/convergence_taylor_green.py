@@ -203,9 +203,10 @@ def run(scheme="semilagrangian", grids=(32, 64, 128), N_ref=256, t_end=0.25,
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()  # consumes --cpu; --f64 sets jax_enable_x64
+    out_root = cli_out_root()
     import jax
 
     argv = sys.argv[1:]
@@ -221,7 +222,7 @@ if __name__ == "__main__":
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     kw = dict(scheme=scheme, stress_band=stress_band, dtype=dtype, cache=cache,
               sl_interp="bicubic" if bicubic else "bilinear",
-              sl_band_guard=0.0 if bicubic_raw else 3.0)
+              sl_band_guard=0.0 if bicubic_raw else 3.0, out_root=out_root)
     if full:
         kw.update(grids=(32, 64, 128, 256), N_ref=512)
     run(**kw)

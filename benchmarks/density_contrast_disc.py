@@ -168,10 +168,11 @@ def run(N=128, rho_ratio=10.0, t_end=1.0, g0=1.0, out_root="outputs",
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     dtype = "float64" if "--f64" in sys.argv else "float32"
-    run(N=N, rho_ratio=ratio, dtype=dtype)
+    run(N=N, rho_ratio=ratio, dtype=dtype, out_root=out_root)

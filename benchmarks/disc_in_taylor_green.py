@@ -127,10 +127,11 @@ def run(N=128, scheme="semilagrangian", t_end=1.0, out_root="outputs",
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     scheme = sys.argv[2] if len(sys.argv) > 2 else "semilagrangian"
     dtype = "float64" if "--f64" in sys.argv else "float32"
-    run(N=N, scheme=scheme, dtype=dtype)
+    run(N=N, scheme=scheme, dtype=dtype, out_root=out_root)

@@ -119,12 +119,13 @@ def run(Re=100.0, N=129, max_steps=60000, steady_tol=2e-5, chunk=200,
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     argv = sys.argv[1:]
     dtype = "float64" if "--f64" in argv else "float32"
-    kw = {}
+    kw = {"out_root": out_root}
     if "--tol" in argv:
         i = argv.index("--tol")
         kw["steady_tol"] = float(argv[i + 1])

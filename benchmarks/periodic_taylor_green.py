@@ -162,12 +162,14 @@ def run(N=129, nu=0.01, U0=0.5, t_end=0.5, with_solid=False,
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     import jax
 
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(argv[0]) if len(argv) > 0 else 129
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-    run(N=N, with_solid="--solid" in sys.argv, dtype=dtype)
+    run(N=N, with_solid="--solid" in sys.argv, dtype=dtype,
+        out_root=out_root)

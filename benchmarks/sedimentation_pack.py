@@ -202,13 +202,15 @@ def run(N=256, S=10, R=0.06, rho_ratio=2.0, t_end=2.0, g0=1.0,
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     import jax
 
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(argv[0]) if len(argv) > 0 else 256
     S = int(argv[1]) if len(argv) > 1 else 10
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
-    run(N=N, S=S, dtype=dtype, resume="--resume" in sys.argv)
+    run(N=N, S=S, dtype=dtype, resume="--resume" in sys.argv,
+        out_root=out_root)

@@ -161,11 +161,12 @@ def mean_track_deviation(cx, cy, rx, ry):
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     scheme = sys.argv[2] if len(sys.argv) > 2 else "semilagrangian"
     t_end = float(sys.argv[3]) if len(sys.argv) > 3 else 8.0
     dtype = "float64" if "--f64" in sys.argv else "float32"
-    run(N=N, scheme=scheme, t_end=t_end, dtype=dtype)
+    run(N=N, scheme=scheme, t_end=t_end, dtype=dtype, out_root=out_root)

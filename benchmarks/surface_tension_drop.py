@@ -155,9 +155,10 @@ def run(N=128, gamma=0.1, R=0.25, n_steps=2000, out_root="outputs",
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()  # consumes --cpu; --f64 sets jax_enable_x64
+    out_root = cli_out_root()
     import jax
 
     st_method = "balanced" if "--balanced" in sys.argv else "csf"
@@ -173,4 +174,4 @@ if __name__ == "__main__":
     dtype = "float64" if jax.config.jax_enable_x64 else "float32"
     run(N=N, gamma=gamma, R=R, dtype=dtype, st_method=st_method,
         kappa_interface=kappa_interface, curvature=curvature,
-        hf_smooth=hf_smooth)
+        hf_smooth=hf_smooth, out_root=out_root)

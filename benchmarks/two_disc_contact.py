@@ -116,11 +116,12 @@ def run(N=128, t_end=2.0, V0=0.15, k_rep=2.0, out_root="outputs",
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     V0 = float(sys.argv[3]) if len(sys.argv) > 3 else 0.15
     k_rep = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
-    run(N=N, t_end=t_end, V0=V0, k_rep=k_rep)
+    run(N=N, t_end=t_end, V0=V0, k_rep=k_rep, out_root=out_root)

@@ -108,11 +108,12 @@ def run(N=128, t_end=2.0, U0=0.12, k_rep=3.0, out_root="outputs",
 
 
 if __name__ == "__main__":
-    from benchmarks.common import apply_cli_platform
+    from benchmarks.common import apply_cli_platform, cli_out_root
 
     apply_cli_platform()
+    out_root = cli_out_root()
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     U0 = float(sys.argv[3]) if len(sys.argv) > 3 else 0.12
     k_rep = float(sys.argv[4]) if len(sys.argv) > 4 else 3.0
-    run(N=N, t_end=t_end, U0=U0, k_rep=k_rep)
+    run(N=N, t_end=t_end, U0=U0, k_rep=k_rep, out_root=out_root)
