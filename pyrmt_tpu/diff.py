@@ -74,13 +74,12 @@ def make_diff_step(
     and XLA paths report aux from different (discarded) trial computations
     (sim.py fused-branch comment), so only the state — which IS pinned
     identical — participates in the differentiable contract.
+
+    ``variable_rho=True`` works too: the CG projection's ``lax.while_loop``
+    is hidden behind an implicit-adjoint ``jax.custom_vjp``
+    (ops/poisson.solve_variable_poisson_cg_counted), so the backward pass
+    runs one extra PCG solve per step instead of unrolling iterations.
     """
-    if cfg.variable_rho:
-        raise ValueError(
-            "make_diff_step requires variable_rho=False: the variable-rho "
-            "CG projection iterates with lax.while_loop, which has no "
-            "reverse-mode rule (see sim.make_rollout docstring)."
-        )
     fwd_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
                          rmt_block_impl=rmt_block_impl,
                          momentum_rk4_impl=momentum_rk4_impl)

@@ -741,34 +741,12 @@ def _trapezoid_weights(shape, dtype):
     return wy[:, None] * wx[None, :]
 
 
-@partial(jax.jit, static_argnames=("dx", "dy", "tol", "maxiter", "precision"))
-def solve_variable_poisson_cg_counted(
-    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None,
-    precision=None,
-):
-    """SYMMETRIZED preconditioned CG for the variable-density Neumann Poisson
-    problem, with solver observability: returns ``(p, iters, relres)``.
-
-    Deliberate deviation from the reference (documented, docs/DESIGN.md):
-    the reference runs scipy CG directly on the ghost-mirror operator
-    (pyRMT/functions.py:1221-1246), which is NONSYMMETRIC at boundary rows
-    (the mirrored ghost doubles the inward-neighbour coefficient) — CG's
-    convergence theory does not apply, and measured on a 10:1 density
-    contrast it stagnates at ~1e-3 relative residual without ever reaching
-    its tol=1e-6 (scipy's info flag is discarded upstream). Here the system
-    is left-scaled by the trapezoidal boundary weights D (half on boundary
-    rows/cols, quarter on corners): D A is exactly symmetric negative
-    semidefinite with null space = constants, the preconditioner
-    M = A_c^+ D^{-1} (the DCT direct solve of the weighted residual, zero
-    mode zeroed — the reference's own preconditioner choice,
-    functions.py:1234-1237, made symmetric) is symmetric, and PCG converges
-    like a proper PCG (~tens of iterations at 10:1 contrast instead of
-    stagnating). The rhs is projected onto range(D A) (zero-sum after
-    weighting) — the minimal consistency fix for the all-Neumann problem.
-
-    Termination: ||r|| <= tol * ||b|| in the symmetrized system, capped at
-    ``maxiter``. Update ordering matches jax.scipy.sparse.linalg.cg.
-    """
+def _variable_poisson_cg_core(rhs, inv_rho, eigenvalues, dct_mats, dx, dy,
+                              tol, maxiter, precision):
+    """The raw PCG loop (see ``solve_variable_poisson_cg_counted`` for the
+    math). Reverse-mode AD must never reach this function — the
+    ``lax.while_loop`` has no VJP rule — which is exactly why the public
+    entry wraps it in the implicit-adjoint ``jax.custom_vjp`` below."""
     w = _trapezoid_weights(rhs.shape, rhs.dtype)
     inv_w = 1.0 / w
     eig_pre = _pin_null_mode(eigenvalues)
@@ -811,6 +789,105 @@ def solve_variable_poisson_cg_counted(
     relres = jnp.sqrt(jnp.sum(r * r)) / jnp.maximum(
         bnorm, jnp.finfo(rhs.dtype).tiny)
     return x - jnp.mean(x), k, relres
+
+
+def _zero_cotangent(x):
+    """Zero cotangent matching a primal leaf (float0 for integer leaves —
+    dct plan dicts carry int64 fold permutations and python-int sizes)."""
+    import numpy as np
+
+    a = jnp.asarray(x)
+    if jnp.issubdtype(a.dtype, jnp.inexact):
+        return jnp.zeros(a.shape, a.dtype)
+    return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _variable_poisson_cg_diff(rhs, inv_rho, eigenvalues, dct_mats, dx, dy,
+                              tol, maxiter, precision):
+    return _variable_poisson_cg_core(rhs, inv_rho, eigenvalues, dct_mats,
+                                     dx, dy, tol, maxiter, precision)
+
+
+def _variable_poisson_cg_fwd(rhs, inv_rho, eigenvalues, dct_mats, dx, dy,
+                             tol, maxiter, precision):
+    out = _variable_poisson_cg_core(rhs, inv_rho, eigenvalues, dct_mats,
+                                    dx, dy, tol, maxiter, precision)
+    # residuals: the SOLUTION (not rhs) + everything the adjoint solve needs
+    return out, (out[0], inv_rho, eigenvalues, dct_mats)
+
+
+def _variable_poisson_cg_bwd(dx, dy, tol, maxiter, precision, residuals, cts):
+    """Implicit-function-theorem adjoint (O(tol)-exact, one extra PCG solve).
+
+    With S(θ) = D A(θ) symmetric and p = S⁺ b(rhs), b = P D rhs (P = demean):
+    for output cotangent g on p, the adjoint solves S λ = P g with the SAME
+    preconditioned CG (self-adjoint system — no transpose solver needed),
+    then  ∂rhs = D λ  and  ∂θ = −(∂_θ [S(θ) p])ᵀ λ  via one jax.vjp of the
+    matrix-free operator. The preconditioner operands (eigenvalues,
+    dct_mats) do not enter the converged solution, so their cotangents are
+    zero; the iters/relres diagnostics are likewise non-differentiable.
+    This is what makes variable-density steps reverse-differentiable at all:
+    unrolling the lax.while_loop has no VJP rule, and a fixed-length unroll
+    would store every CG iterate."""
+    p, inv_rho, eigenvalues, dct_mats = residuals
+    ct_p = cts[0]
+    g = ct_p - jnp.mean(ct_p)
+    w = _trapezoid_weights(p.shape, p.dtype)
+    lam, _, _ = _variable_poisson_cg_core(
+        g / w, inv_rho, eigenvalues, dct_mats, dx, dy, tol, maxiter,
+        precision)  # core builds b = w*(g/w) - mean = g: solves S lam = g
+    grad_rhs = w * lam
+    _, vjp_ir = jax.vjp(
+        lambda ir: w * apply_variable_poisson(p, ir, dx, dy), inv_rho)
+    grad_inv_rho = -vjp_ir(lam)[0]
+    return (grad_rhs, grad_inv_rho,
+            jax.tree_util.tree_map(_zero_cotangent, eigenvalues),
+            jax.tree_util.tree_map(_zero_cotangent, dct_mats))
+
+
+_variable_poisson_cg_diff.defvjp(_variable_poisson_cg_fwd,
+                                 _variable_poisson_cg_bwd)
+
+
+@partial(jax.jit, static_argnames=("dx", "dy", "tol", "maxiter", "precision"))
+def solve_variable_poisson_cg_counted(
+    rhs, inv_rho, eigenvalues, dx, dy, tol=1e-6, maxiter=200, dct_mats=None,
+    precision=None,
+):
+    """SYMMETRIZED preconditioned CG for the variable-density Neumann Poisson
+    problem, with solver observability: returns ``(p, iters, relres)``.
+
+    Deliberate deviation from the reference (documented, docs/DESIGN.md):
+    the reference runs scipy CG directly on the ghost-mirror operator
+    (pyRMT/functions.py:1221-1246), which is NONSYMMETRIC at boundary rows
+    (the mirrored ghost doubles the inward-neighbour coefficient) — CG's
+    convergence theory does not apply, and measured on a 10:1 density
+    contrast it stagnates at ~1e-3 relative residual without ever reaching
+    its tol=1e-6 (scipy's info flag is discarded upstream). Here the system
+    is left-scaled by the trapezoidal boundary weights D (half on boundary
+    rows/cols, quarter on corners): D A is exactly symmetric negative
+    semidefinite with null space = constants, the preconditioner
+    M = A_c^+ D^{-1} (the DCT direct solve of the weighted residual, zero
+    mode zeroed — the reference's own preconditioner choice,
+    functions.py:1234-1237, made symmetric) is symmetric, and PCG converges
+    like a proper PCG (~tens of iterations at 10:1 contrast instead of
+    stagnating). The rhs is projected onto range(D A) (zero-sum after
+    weighting) — the minimal consistency fix for the all-Neumann problem.
+
+    Termination: ||r|| <= tol * ||b|| in the symmetrized system, capped at
+    ``maxiter``. Update ordering matches jax.scipy.sparse.linalg.cg.
+
+    DIFFERENTIABLE (beyond reference): reverse-mode AD w.r.t. ``rhs`` and
+    ``inv_rho`` goes through an implicit-adjoint ``jax.custom_vjp`` (one
+    extra PCG solve on the self-adjoint system; gradients are exact up to
+    O(tol)) instead of unrolling the while-loop — this is what lets
+    ``sim.make_rollout``/``diff.make_diff_step`` differentiate variable-
+    density simulations end-to-end (tests/test_diff.py). Gradients flow
+    only through ``p``; the iters/relres diagnostics are non-differentiable.
+    """
+    return _variable_poisson_cg_diff(rhs, inv_rho, eigenvalues, dct_mats,
+                                     dx, dy, tol, maxiter, precision)
 
 
 def solve_variable_poisson_cg(

@@ -1053,8 +1053,13 @@ def make_rollout(step_fn, n_steps: int, remat: bool = True):
     Differentiation requires the XLA compute paths — the fused Pallas
     kernels define no VJP — so build the step with ``rmt_method='xla'``,
     ``momentum_method='xla'`` (the defaults off-TPU), ``extrap_method='xla'``
-    and constant density (the variable-rho CG uses ``lax.while_loop``, which
-    has no reverse-mode rule). To differentiate w.r.t. a *physics* scalar
+    (or keep the fused forward and substitute the XLA twin's VJP with
+    :func:`pyrmt_tpu.diff.make_diff_step`). ``variable_rho=True`` is fully
+    differentiable: the CG projection's ``lax.while_loop`` (no reverse-mode
+    rule) is wrapped in an implicit-adjoint ``jax.custom_vjp`` that solves
+    the self-adjoint system once on the backward pass
+    (ops/poisson.solve_variable_poisson_cg_counted, tests/test_diff.py).
+    To differentiate w.r.t. a *physics* scalar
     (mu_s, kappa, gamma, ...), rebuild the step inside the differentiated
     function with ``dataclasses.replace(cfg, mu_s=theta)`` — every such
     scalar enters the traced graph multiplicatively, so a traced value works

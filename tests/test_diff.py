@@ -250,7 +250,84 @@ def test_diff_step_forward_is_fused_gradient_is_xla():
     assert abs(g_diff - fd) <= 1e-6 * max(1.0, abs(fd)), (g_diff, fd)
 
 
-def test_diff_step_rejects_variable_rho():
-    with pytest.raises(ValueError, match="variable_rho"):
-        make_diff_step(base_cfg(variable_rho=True), free_slip_box_bc,
-                       (phi_disc,), dtype=jnp.float64)
+# ---------------------------------------------------------------------------
+# Variable-density differentiability: implicit-adjoint custom_vjp on the
+# symmetrized PCG (ops/poisson.py) — one extra solve instead of unrolling
+# the lax.while_loop (which has no reverse-mode rule at all).
+# ---------------------------------------------------------------------------
+
+def test_cg_adjoint_matches_finite_difference():
+    """grad of sum(w*p) through the variable-rho PCG solve vs central FD,
+    w.r.t. BOTH the rhs and the inverse-density field (the ∂θ term goes
+    through jax.vjp of the matrix-free operator)."""
+    from pyrmt_tpu.ops.poisson import (
+        precompute_poisson_eigenvalues,
+        solve_variable_poisson_cg,
+    )
+
+    n = 24
+    dx = dy = 1.0 / (n - 1)
+    yy, xx = np.mgrid[0:n, 0:n] * dx
+    rhs0 = jnp.asarray(np.sin(2 * np.pi * xx) * np.cos(np.pi * yy))
+    rho = 1.0 + 4.0 / (1.0 + np.exp(
+        -(((xx - 0.5) ** 2 + (yy - 0.5) ** 2) - 0.09) / 0.01))
+    ir0 = jnp.asarray(1.0 / rho)
+    eig = precompute_poisson_eigenvalues(n, n, dx, dy, dtype=jnp.float64)
+    wt = jnp.asarray(np.random.RandomState(0).randn(n, n))
+
+    def loss(rhs, ir):
+        p = solve_variable_poisson_cg(rhs, ir, eig, dx, dy, tol=1e-13,
+                                      maxiter=500)
+        return jnp.sum(p * wt)
+
+    g_rhs, g_ir = jax.grad(loss, argnums=(0, 1))(rhs0, ir0)
+    h = 1e-6
+    for (i, j) in [(3, 4), (11, 17), (0, 0), (23, 12), (7, 0)]:
+        e = jnp.zeros((n, n)).at[i, j].set(1.0)
+        for which, grad in ((0, g_rhs), (1, g_ir)):
+            args_p = (rhs0 + h * e, ir0) if which == 0 else (rhs0, ir0 + h * e)
+            args_m = (rhs0 - h * e, ir0) if which == 0 else (rhs0, ir0 - h * e)
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * h)
+            an = float(grad[i, j])
+            # 1e-5: central-FD truncation dominates on small-magnitude
+            # entries; the adjoint itself is exact to the 1e-13 CG tol
+            assert abs(an - fd) <= 1e-5 * max(1.0, abs(fd)), (which, i, j,
+                                                              an, fd)
+
+
+def test_grad_through_variable_rho_rollout():
+    """End-to-end reverse-mode through a variable-density rollout (the CG
+    while-loop hidden behind the implicit adjoint) vs central FD w.r.t. the
+    initial velocity amplitude. Both make_rollout on the plain step and
+    make_diff_rollout on make_diff_step (which now ACCEPTS variable_rho)."""
+    n_steps = 3
+    cfg = base_cfg(rho_s=2.0, variable_rho=True, cg_tol=1e-12,
+                   cg_maxiter=400)
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(1.0)
+    state0 = make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+
+    step = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+    roll = make_rollout(step, n_steps, remat=True)
+
+    def loss(amp):
+        s0 = dataclasses.replace(state0, u=state0.u * amp, v=state0.v * amp)
+        return final_energy(roll(s0, T_END))
+
+    loss_j = jax.jit(loss)
+    g = float(jax.grad(loss)(1.0))
+    h = 1e-5
+    fd = (float(loss_j(1.0 + h)) - float(loss_j(1.0 - h))) / (2 * h)
+    assert np.isfinite(g) and abs(fd) > 0.0
+    assert abs(g - fd) <= 1e-6 * max(1.0, abs(fd)), (g, fd)
+
+    dstep = make_diff_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+    droll = make_diff_rollout(dstep, n_steps)
+
+    def dloss(amp):
+        s0 = dataclasses.replace(state0, u=state0.u * amp, v=state0.v * amp)
+        return final_energy(droll(s0, T_END))
+
+    g_d = float(jax.grad(dloss)(1.0))
+    assert abs(g_d - g) <= 1e-9 * max(1.0, abs(g)), (g_d, g)
