@@ -45,7 +45,13 @@ def compute_curvature(phi, dx, dy):
 
     phi_x = grad_central_x_2nd(phi, dx)
     phi_y = grad_central_y_2nd(phi, dy)
-    grad_mag = jnp.sqrt(phi_x**2 + phi_y**2) + 1e-12
+    # sqrt at an exactly-zero gradient (flat rebuilt far field) has an
+    # infinite slope: sanitise the radicand BEFORE the sqrt (double-where)
+    # so reverse-mode AD stays finite; forward values only change where
+    # |grad phi| < 1e-12 — pure roundoff noise under the +1e-12 floor.
+    g2 = phi_x**2 + phi_y**2
+    g2 = jnp.where(g2 < 1e-24, jnp.asarray(1.0, g2.dtype), g2)
+    grad_mag = jnp.sqrt(g2) + 1e-12
     nx = phi_x / grad_mag
     ny = phi_y / grad_mag
     return grad_central_x_2nd(nx, dx) + grad_central_y_2nd(ny, dy)
@@ -68,12 +74,27 @@ def sharp_solid_fraction(phi, dx, dy):
 
     gx = grad_central_x_2nd(phi, dx)
     gy = grad_central_y_2nd(phi, dy)
-    gm = jnp.sqrt(gx * gx + gy * gy) + 1e-12
+    # sanitise the radicand BEFORE the sqrt (double-where): sqrt'(0) is
+    # infinite, so an exactly-flat cell would put NaN into reverse-mode AD
+    # even though the forward is guarded by the ``flat`` select below.
+    # Forward change only where |grad phi| < 1e-12 (noise under the floor;
+    # such cells land in the ``flat`` branch either way).
+    g2 = gx * gx + gy * gy
+    g2 = jnp.where(g2 < 1e-24, jnp.asarray(1.0, g2.dtype), g2)
+    gm = jnp.sqrt(g2) + 1e-12
     m1 = jnp.abs(gx) / gm * dx
     m2 = jnp.abs(gy) / gm * dy
     lo = jnp.maximum(jnp.minimum(m1, m2), 1e-9 * (dx + dy))
-    hi = jnp.maximum(m1, m2)
     mtot = m1 + m2
+    # Degenerate (exactly flat) gradients make hi = 0: the analytically
+    # rebuilt phi is CONSTANT beyond the extrapolated band
+    # (sim.rebuild_phis clamps the far field), so this is a real input, not
+    # a pathological one. The fraction there is the sign indicator. The
+    # denominator is sanitised BEFORE the divisions (double-where): the
+    # outer select alone fixes only the forward — reverse-mode AD still
+    # propagates NaN through the untaken 0/0 branch (0 * inf).
+    flat = mtot <= 1e-6 * (dx + dy)
+    hi = jnp.where(flat, jnp.asarray(dx + dy, gm.dtype), jnp.maximum(m1, m2))
     s = phi / gm                                   # distance, > 0 in fluid
     a = jnp.clip(0.5 * mtot - s, 0.0, mtot)        # filled depth from the
     #                                                 empty corner
@@ -81,11 +102,6 @@ def sharp_solid_fraction(phi, dx, dy):
     F2 = (a - 0.5 * lo) / hi                       # parallel band
     F3 = 1.0 - (mtot - a) ** 2 / (2.0 * lo * hi)   # complement triangle
     F = jnp.where(a < lo, F1, jnp.where(a <= hi, F2, F3))
-    # Degenerate (exactly flat) gradients make hi = 0 and select F1 = 0/0:
-    # the analytically rebuilt phi is CONSTANT beyond the extrapolated band
-    # (sim.rebuild_phis clamps the far field), so this is a real input, not
-    # a pathological one. The fraction there is the sign indicator.
-    flat = mtot <= 1e-6 * (dx + dy)
     return jnp.where(flat, jnp.where(phi < 0.0, 1.0, 0.0), F)
 
 
@@ -177,6 +193,15 @@ def compute_curvature_hf(phi, dx, dy, hh, kappa_fallback, smooth=0):
     thr = jnp.asarray(0.81, c.dtype)   # |m| > 0.9 on all columns, same sign
 
     def _fp_min_products(m, axis):
+        if smooth == 0:
+            # original (round-3) estimator, bit-identical: edge-REPLICATED
+            # +-1 neighbours, so a domain-edge column with a matching
+            # bracket is accepted (the replicated neighbour is itself)
+            if axis == 1:
+                mp = jnp.concatenate([m[:, :1], m, m[:, -1:]], axis=1)
+                return jnp.minimum(mp[:, :-2] * m, m * mp[:, 2:])
+            mp = jnp.concatenate([m[:1, :], m, m[-1:, :]], axis=0)
+            return jnp.minimum(mp[:-2, :] * m, m * mp[2:, :])
         pads = [m]
         for k in range(1, fp + 1):
             pads.append(jnp.roll(m, k, axis=axis))

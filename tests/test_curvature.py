@@ -236,3 +236,53 @@ def test_hf_coupled_warning_only_for_raw_estimator():
         warnings.simplefilter("error")
         cfg = dataclasses.replace(base, st_hf_smooth=2)
         make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+
+
+def test_sharp_fraction_grad_finite_on_flat_phi():
+    """Reverse-mode AD through the PLIC fractions must stay finite when phi
+    has exactly-flat regions (the rebuilt phi is CONSTANT beyond the
+    extrapolated band — a real input): the denominator is sanitised BEFORE
+    the divisions (double-where), since the outer select alone still
+    propagates NaN through the untaken 0/0 branch."""
+    import jax
+
+    N = 64
+    X, Y, dx, dy = _grid(N)
+    phi = np.minimum(np.hypot(X - 0.5, Y - 0.5) - 0.2, 0.15)  # clamped far
+    phi = jnp.asarray(np.maximum(phi, -0.15))                 # field (flat)
+
+    gF = jax.grad(lambda p: jnp.sum(sharp_solid_fraction(p, dx, dy)))(phi)
+    assert np.all(np.isfinite(np.asarray(gF)))
+
+    w_t = 2.0 * dx
+    hh = _hh(w_t, dx, dy)
+
+    def loss(p, smooth):
+        kf = compute_curvature(p, dx, dy)
+        return jnp.sum(compute_curvature_hf(p, dx, dy, hh, kf, smooth=smooth)
+                       * (jnp.abs(p) < w_t))
+
+    for smooth in (0, 2):
+        gK = jax.grad(loss)(phi, smooth)
+        assert np.all(np.isfinite(np.asarray(gK))), smooth
+
+
+def test_hf_raw_edge_columns_keep_column_estimate():
+    """smooth=0 validity is the round-3 estimator bit-for-bit: domain-edge
+    columns with a full bracket use the EDGE-REPLICATED neighbour (i.e. are
+    accepted), not forced to the fallback. Pinned with a sentinel fallback
+    on a horizontal line whose interface band touches x-edge columns."""
+    N = 96
+    X, Y, dx, dy = _grid(N)
+    w_t = 2.0 * dx
+    hh = _hh(w_t, dx, dy)
+    phi = jnp.asarray(Y - 0.47)
+    sentinel = jnp.full(phi.shape, 1e3)
+    kap = np.asarray(compute_curvature_hf(phi, dx, dy, hh, sentinel))
+    band = np.abs(np.asarray(phi)) < w_t
+    # rows fully inside the vertical-column window; ALL columns incl. j=0
+    # and j=N-1 must carry the (exactly zero) column estimate
+    rows = band.copy()
+    rows[: hh + 1, :] = False
+    rows[-hh - 1 :, :] = False
+    assert np.abs(kap[rows]).max() < 1e-9

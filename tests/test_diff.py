@@ -18,6 +18,10 @@ no VJP and are TPU-only defaults. make_diff_step closes that gap (fused
 forward, XLA-twin VJP): pinned below with the Pallas kernels in interpret
 mode.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import dataclasses
 import functools
 

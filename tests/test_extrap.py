@@ -3,6 +3,10 @@
 Mirrors tests/test_interp_extrap_energy.py:33-48 in the reference and adds
 band-coverage/idempotence checks for the layer-synchronous TPU formulation.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 
 from pyrmt_tpu.grid import create_grid

@@ -3,6 +3,10 @@
 Runs in interpreter mode on the CPU backend (the same kernel compiles for
 TPU; parity on real hardware is exercised by bench/profiling runs).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 import pytest
 

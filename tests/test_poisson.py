@@ -3,6 +3,10 @@
 Same contracts and tolerances as the reference's tests/test_poisson.py,
 plus DCT-vs-scipy transform identity and the variable-density CG path.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 
 from pyrmt_tpu.grid import create_grid

@@ -6,6 +6,10 @@ the reference's analytic rebuild (pyRMT/functions.py:1287-1288) to a
 non-analytic, carried phi0 (SimState.phis0); the min-J trigger resets the
 map to the identity against a fast-sweeping-redistanced base.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import dataclasses
 
 import numpy as np

@@ -3,6 +3,10 @@
 Mirrors the reference's tests/test_reinit.py; the 'fmm' method here is the
 TPU-native PDE-sweep substitute honouring the same behavioural tolerances.
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 import pytest
 

@@ -7,6 +7,10 @@ resumed with ``resume=True``; the resumed history must match the
 uninterrupted run's to roundoff (identical jitted programs on identical
 state → identical floats on CPU f64).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 
 

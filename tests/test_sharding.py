@@ -4,6 +4,10 @@ Runs on the 8-device virtual CPU mesh from conftest (the same mechanism the
 driver's dryrun uses), exercising real XLA collectives (halo exchange for
 stencils/convs, FFT all-to-alls, psum reductions).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 import pytest
 

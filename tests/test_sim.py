@@ -1,5 +1,9 @@
 """End-to-end sim tests: pure-fluid + FSI step, checkpoint/resume, divergence
 predicate, narrow-band check."""
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 import pytest
 

@@ -19,6 +19,10 @@ benchmarks/README.md: dct_precision='highest' recovers the roundoff-exact
 FFT-parity DCT when a validation run needs the full margin
 (docs/DESIGN.md deviation #6).
 """
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full local tier only; fast tier = -m 'not slow'
 import numpy as np
 import pytest
 
