@@ -24,7 +24,8 @@ import time
 
 
 def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
-         dct_highest=False, sl_bicubic=False):
+         dct_highest=False, sl_bicubic=False, rebase=False, areafix=False,
+         reinit=None):
     import pyrmt_tpu.runtime as rt
 
     rt.setup()
@@ -49,6 +50,15 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
         # Catmull-Rom final gather — fused into the RMT-block kernel since
         # round 4 (band-guarded; kernels/rmt_block._bicubic_local)
         cfg = dataclasses.replace(cfg, sl_interp="bicubic")
+    # Robustness-config rows (round 5): these route through the SPLIT fused
+    # tier (sim.rmt_block_split_eligible — kernel A + exact XLA phi chain)
+    # instead of silently dropping to the all-XLA path as in round 4.
+    if rebase:
+        cfg = dataclasses.replace(cfg, map_rebase_minj=0.5)
+    if areafix:
+        cfg = dataclasses.replace(cfg, phi_area_fix=True)
+    if reinit:
+        cfg = dataclasses.replace(cfg, reinit_method=reinit)
     step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
     state = make_init_state(cfg, phi_inits, dtype=jnp.float32)
     t_end = jnp.asarray(1e9, jnp.float32)
@@ -73,8 +83,17 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
     ref_step_ms = ref_step_ms_at_128 * (N / 128.0) ** 2
     vs_baseline = ref_step_ms / step_ms
 
+    variant = ""
+    if rebase:
+        variant += "_rebase"
+    if areafix:
+        variant += "_areafix"
+    if reinit:
+        variant += f"_reinit_{reinit}"
+    if sl_bicubic:
+        variant += "_bicubic"
     print(json.dumps({
-        "metric": f"fsi_steps_per_sec_N{N}",
+        "metric": f"fsi_steps_per_sec_N{N}" + variant,
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 2),
@@ -86,8 +105,15 @@ if __name__ == "__main__":
     no_slab = "--no-slab" in sys.argv
     dct_highest = "--dct-highest" in sys.argv
     sl_bicubic = "--bicubic" in sys.argv
+    rebase = "--rebase" in sys.argv
+    areafix = "--areafix" in sys.argv
+    reinit = None
+    for a in sys.argv[1:]:
+        if a.startswith("--reinit="):
+            reinit = a.split("=", 1)[1]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     N = int(args[0]) if len(args) > 0 else 1024
     n_steps = int(args[1]) if len(args) > 1 else 2000
     main(N=N, n_steps=n_steps, use_pallas=use_pallas, no_slab=no_slab,
-         dct_highest=dct_highest, sl_bicubic=sl_bicubic)
+         dct_highest=dct_highest, sl_bicubic=sl_bicubic, rebase=rebase,
+         areafix=areafix, reinit=reinit)

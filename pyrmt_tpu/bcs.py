@@ -49,6 +49,11 @@ def periodic_bc(u, v):
     return u, v
 
 
+# fused momentum kernel support (round 5): wrap stencils + overlap-identity
+# row handling (kernels/momentum_rk4._apply_bc / widen)
+periodic_bc.kernel_spec = ("periodic",)
+
+
 def noop_bc(u, v):
     return u, v
 

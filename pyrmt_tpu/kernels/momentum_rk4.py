@@ -41,11 +41,78 @@ from pyrmt_tpu.kernels.momentum_rhs import (
 _HALO = 8
 
 
+def _shw_x(f, k):
+    """Overlap-grid periodic x shift: col N-1 duplicates col 0, so col N
+    wraps to col 1 and col -1 to col N-2 (twin of ops.fd.wrap_pad_x)."""
+    if k == 0:
+        return f
+    n = f.shape[1]
+    if k > 0:
+        return jnp.concatenate([f[:, k:], f[:, 1 : 1 + k]], axis=1)
+    return jnp.concatenate([f[:, n - 1 + k : n - 1], f[:, :k]], axis=1)
+
+
+def _grad_x_wrap(f, dx):
+    """Twin of ops.fd.grad_central_x_2nd_periodic (overlap wrap, no
+    one-sided closures)."""
+    return (_shw_x(f, 1) - _shw_x(f, -1)) * (1.0 / (2.0 * dx))
+
+
+def _upwind_x_wrap(f, vel, dx):
+    """Twin of ops.fd.diff_upwind_3rd_periodic, axis=1."""
+    fp1, fp2 = _shw_x(f, 1), _shw_x(f, 2)
+    fm1, fm2 = _shw_x(f, -1), _shw_x(f, -2)
+    inv_6h = 1.0 / (6.0 * dx)
+    pos = (2.0 * fp1 + 3.0 * f - 6.0 * fm1 + fm2) * inv_6h
+    neg = (-fp2 + 6.0 * fp1 - 3.0 * f - 2.0 * fm1) * inv_6h
+    return jnp.where(vel > 0, pos, neg)
+
+
+def _sh_y_slab(f, k):
+    """Block-local y shift, edge padded (padded rows only ever land in the
+    stale halo region — the periodic slab already carries wrap rows)."""
+    if k == 0:
+        return f
+    if k > 0:
+        return jnp.concatenate(
+            [f[k:, :], jnp.repeat(f[-1:, :], k, axis=0)], axis=0)
+    return jnp.concatenate(
+        [jnp.repeat(f[0:1, :], -k, axis=0), f[:k, :]], axis=0)
+
+
+def _grad_y_plain(f, dy):
+    """Interior central y-gradient everywhere — with wrap-filled halo rows
+    this is the twin of ops.fd.grad_central_y_2nd_periodic."""
+    return (_sh_y_slab(f, 1) - _sh_y_slab(f, -1)) * (1.0 / (2.0 * dy))
+
+
+def _upwind_y_plain(f, vel, dy):
+    """Interior 3rd-order upwind y-derivative everywhere — twin of
+    ops.fd.diff_upwind_3rd_periodic, axis=0, on a wrap-filled slab."""
+    fp1, fp2 = _sh_y_slab(f, 1), _sh_y_slab(f, 2)
+    fm1, fm2 = _sh_y_slab(f, -1), _sh_y_slab(f, -2)
+    inv_6h = 1.0 / (6.0 * dy)
+    pos = (2.0 * fp1 + 3.0 * f - 6.0 * fm1 + fm2) * inv_6h
+    neg = (-fp2 + 6.0 * fp1 - 3.0 * f - 2.0 * fm1) * inv_6h
+    return jnp.where(vel > 0, pos, neg)
+
+
 def _apply_bc(u, v, bc_spec, grow, gcol, Ny, Nx, dtype):
     """In-kernel velocity BC via global-index masks (same final field as the
     .at[...]= sequences in pyrmt_tpu/bcs.py, including corner pinning)."""
     kind = bc_spec[0]
     if kind == "noop":
+        return u, v
+    if kind == "periodic":
+        # Overlap-grid wrap (bcs.periodic_bc): the COLUMN copy is applied
+        # directly (the row slab is full-width); the ROW copy is omitted —
+        # with overlap-consistent inputs (momentum_core pre-applies the BC
+        # once) and wrap-filled halo rows, row Ny-1's stencil reads exactly
+        # the values row 0's reads, so the two rows stay bitwise equal
+        # through every stage and the copy is the identity (pinned vs the
+        # XLA path in tests/test_pallas.py).
+        u = jnp.where(gcol == Nx - 1, u[:, :1], u)
+        v = jnp.where(gcol == Nx - 1, v[:, :1], v)
         return u, v
     zero = jnp.zeros((), dtype)
     row0 = grow == 0
@@ -104,15 +171,39 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
     while separate refs alias the producers' buffers directly."""
     use_kv = eta_s > 0.0
     nf = _nfields(has_ext, use_kv)
+    periodic = bc_spec[0] == "periodic"
 
     def kernel(dt_ref, off_ref, *refs):
         ins = refs[: 3 * nf]
         out_u_ref, out_v_ref = refs[3 * nf :]
         t = pl.program_id(0)
         dt = dt_ref[0, 0]
+        rows = tile + 2 * _HALO
+        grow0 = (
+            off_ref[0, 0] + t * tile - _HALO
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        )
 
         def widen(k):
             top, cur, bot = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            if periodic:
+                # top/bot come from WRAPPING block index maps. On the wrap
+                # tiles the needed halo rows sit one row off the tile edge
+                # (overlap grid: row -1 wraps to Ny-2, row Ny to 1), so the
+                # slice is selected per row by global index: the first
+                # tile's top halo takes top[tile-1-H : tile-1] (rows
+                # Ny-1-H .. Ny-2 of the LAST tile), interior tiles take the
+                # neighbour's last H rows as usual; symmetrically below.
+                top_rows = jnp.where(
+                    grow0[:_HALO] < 0,
+                    top[tile - 1 - _HALO : tile - 1, :],
+                    top[tile - _HALO :, :])
+                bot_rows = jnp.where(
+                    grow0[tile + _HALO :] > Ny - 1,
+                    bot[1 : _HALO + 1, :],
+                    bot[:_HALO, :])
+                return jnp.concatenate([top_rows, cur[...], bot_rows],
+                                       axis=0)
             if slab_halo:
                 # top/bot are _HALO-row slab refs (not full neighbour
                 # tiles): the input DMA per tile is tile + 2*_HALO rows
@@ -137,32 +228,37 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
             fx = fy = None
         mkv = widen(k) if use_kv else None
         dtype = u0.dtype
-        rows = tile + 2 * _HALO
         # off_ref: GLOBAL (row, col) index of input element (0, 0) — zeros
         # single-device; shard start minus exchange halo under the shard_map
         # wrapper — keeps the BC masks and one-sided closures anchored to
         # the true domain edges.
-        grow = (
-            off_ref[0, 0] + t * tile - _HALO
-            + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        )
+        grow = grow0
         gcol = (
             off_ref[0, 1]
             + jax.lax.broadcasted_iota(jnp.int32, (1, Nx_local), 1)
         )
         inv_rho = 1.0 / (rho + 1e-12)
-        if col_split:
-            gx_grad = lambda f: _grad_x_masked(f, dx, gcol, Nx)
-            gx_upw = lambda f, vel: _upwind_x_masked(f, vel, dx, gcol, Nx)
+        if periodic:
+            gx_grad = lambda f: _grad_x_wrap(f, dx)
+            gx_upw = lambda f, vel: _upwind_x_wrap(f, vel, dx)
+            gy_grad = lambda f: _grad_y_plain(f, dy)
+            gy_upw = lambda f, vel: _upwind_y_plain(f, vel, dy)
         else:
-            gx_grad = lambda f: _grad_x(f, dx)
-            gx_upw = lambda f, vel: _upwind_x(f, vel, dx)
+            if col_split:
+                gx_grad = lambda f: _grad_x_masked(f, dx, gcol, Nx)
+                gx_upw = lambda f, vel: _upwind_x_masked(
+                    f, vel, dx, gcol, Nx)
+            else:
+                gx_grad = lambda f: _grad_x(f, dx)
+                gx_upw = lambda f, vel: _upwind_x(f, vel, dx)
+            gy_grad = lambda f: _grad_y_masked(f, dy, grow, Ny)
+            gy_upw = lambda f, vel: _upwind_y_masked(f, vel, dy, grow, Ny)
         # stage-constant hoists: the pressure gradient and the viscous
         # blend multipliers are identical across the four RK4 stages.
         # Factoring sigma = m*(du) + sxx_el changes the summation order vs
         # the XLA path by O(ulp) — well inside the 1e-13 parity pins.
         dp_dx = gx_grad(p)
-        dp_dy = _grad_y_masked(p, dy, grow, Ny)
+        dp_dy = gy_grad(p)
         if use_kv:
             m_diag = Hf * (2.0 * mu_f) + mkv * eta_s
             m_shear = Hf * mu_f + mkv * (0.5 * eta_s)
@@ -173,21 +269,19 @@ def _make_kernel(dx, dy, mu_f, eta_s, Ny, Nx, Nx_local, tile, bc_spec,
         def rhs(us, vs):
             us, vs = _apply_bc(us, vs, bc_spec, grow, gcol, Ny, Nx, dtype)
             du_dx = gx_grad(us)
-            dv_dy = _grad_y_masked(vs, dy, grow, Ny)
-            du_dy = _grad_y_masked(us, dy, grow, Ny)
+            dv_dy = gy_grad(vs)
+            du_dy = gy_grad(us)
             dv_dx = gx_grad(vs)
 
             sig_xx = m_diag * du_dx + sxx_el
             sig_yy = m_diag * dv_dy + syy_el
             sig_xy = m_shear * (du_dy + dv_dx) + sxy_el
 
-            div_x = gx_grad(sig_xx) + _grad_y_masked(sig_xy, dy, grow, Ny)
-            div_y = gx_grad(sig_xy) + _grad_y_masked(sig_yy, dy, grow, Ny)
+            div_x = gx_grad(sig_xx) + gy_grad(sig_xy)
+            div_y = gx_grad(sig_xy) + gy_grad(sig_yy)
 
-            u_adv = -us * gx_upw(us, us) - vs * _upwind_y_masked(
-                us, vs, dy, grow, Ny)
-            v_adv = -us * gx_upw(vs, us) - vs * _upwind_y_masked(
-                vs, vs, dy, grow, Ny)
+            u_adv = -us * gx_upw(us, us) - vs * gy_upw(us, vs)
+            v_adv = -us * gx_upw(vs, us) - vs * gy_upw(vs, vs)
 
             if has_ext:
                 return (
@@ -284,7 +378,15 @@ def momentum_rk4_pallas(
         t //= 2
     if Ny % t or t < _HALO:
         raise ValueError("grid does not tile; call momentum_rk4_supported")
-    use_slab = slab_halo and t % _HALO == 0 and Ny % _HALO == 0
+    periodic = bc_spec[0] == "periodic"
+    if periodic and (col_offset is not None or row_offset is not None):
+        raise ValueError(
+            "periodic momentum kernel does not support the shard_map "
+            "offsets yet — use the XLA path (GSPMD) when sharded")
+    if periodic and t < _HALO + 1:
+        raise ValueError("periodic wrap slicing needs tile > halo")
+    use_slab = (slab_halo and t % _HALO == 0 and Ny % _HALO == 0
+                and not periodic)
 
     dtype = u.dtype
     z = jnp.zeros_like(u)
@@ -305,7 +407,16 @@ def momentum_rk4_pallas(
 
     grid = (Ny // t,)
     block = pl.BlockSpec((t, Nx), lambda i: (i, 0))
-    if use_slab:
+    if periodic:
+        # wrapping neighbour tiles: the first tile's top halo reads the
+        # LAST tile (overlap rows Ny-1-H..Ny-2 — widen() slices them one
+        # row off the tile edge) and vice versa
+        nb = grid[0]
+        block_top = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.where(i == 0, nb - 1, i - 1), 0))
+        block_bot = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.where(i == nb - 1, 0, i + 1), 0))
+    elif use_slab:
         # halo slabs: _HALO-row blocks around the tile (t and Ny are
         # multiples of _HALO when use_slab). Clamped to the domain at the
         # edge tiles; out-of-domain halo rows are never consumed (widen()).

@@ -825,3 +825,257 @@ def rmt_block_fused(
     if panel_width < Nx:
         outs = jax.lax.optimization_barrier(outs)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# Split-mode kernel A: fused advect + extrapolate with phi as an INPUT.
+#
+# The full rmt_block_fused bakes the analytic rebuild phi = phi_init(X1, X2)
+# into the pipeline, which excludes every config that post-processes phi
+# between the rebuild and its consumers (reinit_method != 'none',
+# phi_area_fix, map rebasing's phis0 sampling — sim.rmt_block_fusible).
+# This variant keeps the EXPENSIVE stages fused (the shared RK4 backtrace +
+# all LSQ extrapolation sweeps — the bulk of the RMT twin's flops) while
+# taking the pre-advection phi per solid as an ordinary input channel: the
+# caller computes phi with whatever rebuild/reinit/area-fix chain the config
+# needs (sim.make_step split mode) and the downstream rebuild/stress/blends
+# run as the exact XLA ops. Numerical parity with the composed XLA path is
+# pinned in tests/test_pallas.py (f64 interpret mode), same halo/trim
+# machinery as the full kernel.
+# ---------------------------------------------------------------------------
+
+
+def _make_advext_kernel(dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
+                        tile_skip, pw, slab_halo, sl_interp, sl_guard, S):
+    fx, fy = _kernels_1d(dx, dy)
+
+    def kernel(dt_ref, off_ref, *refs):
+        C = 2 + 3 * S            # u, v, then (X1, X2, phi) per solid
+        ins = refs[: 3 * C]
+        x1e_ref, x2e_ref = refs[3 * C:]
+        t = pl.program_id(0)
+        dt = dt_ref[0, 0]
+
+        def widen(k):
+            prev, cur, nxt = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
+            if slab_halo:
+                return jnp.concatenate(
+                    [prev[...], cur[...], nxt[...]], axis=0)
+            return jnp.concatenate(
+                [prev[tile - halo :, :], cur[...], nxt[:halo, :]], axis=0)
+
+        u, v = widen(0), widen(1)
+        Fm = [widen(2 + j) for j in range(3 * S)]  # X1_0, X2_0, phi_0, ...
+        dtype = u.dtype
+
+        rows = tile + 2 * halo
+        grow = (
+            off_ref[0, 0] + t * tile - halo
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        )
+        coff = off_ref[0, 1]
+        sl = tile
+        npan = max(1, Nxl // pw)
+
+        for pidx in range(npan):
+            pwl = Nxl // npan
+            c0 = pidx * pwl
+            c1 = c0 + pwl
+            lo = max(c0 - halo, 0)
+            hi = min(c1 + halo, Nxl)
+            o0 = c0 - lo
+
+            def slc(a):
+                return a[:, lo:hi] if npan > 1 else a
+
+            u_p, v_p = slc(u), slc(v)
+            gcol_p = (coff + lo
+                      + jax.lax.broadcasted_iota(jnp.int32, (1, hi - lo), 1))
+            zf_p = u_p * 0.0
+            gy_p = grow.astype(dtype) + zf_p
+            gx_p = gcol_p.astype(dtype) + zf_p
+            valid_p = ((grow >= 0) & (grow <= Ny - 1)
+                       & (gcol_p >= 0) & (gcol_p <= Nx - 1))
+
+            def row_interior(off, n):
+                gr = (off_ref[0, 0] + t * tile - halo + off
+                      + jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0))
+                return ((gr > 0) & (gr < Ny - 1)
+                        & (gcol_p > 0) & (gcol_p < Nx - 1))
+
+            interior_p = row_interior(0, rows)
+            cum_trims, post_off = _trim_schedule(num_layers)
+            extrap_interiors = [interior_p] + [
+                row_interior(cum_trims[li], rows - 2 * cum_trims[li])
+                for li in range(1, num_layers)
+            ]
+            qs_p = []
+            for i in range(S):
+                X1_p = slc(Fm[3 * i])
+                X2_p = slc(Fm[3 * i + 1])
+                phi_p = slc(Fm[3 * i + 2])
+                mask_p = (phi_p <= 0.0).astype(dtype)
+                known_p = valid_p & (phi_p < 0.0)
+                qs_p.append((X1_p, X2_p, phi_p, mask_p, known_p))
+
+            def full_path(u_p=u_p, v_p=v_p, gx_p=gx_p, gy_p=gy_p,
+                          extrap_interiors=extrap_interiors,
+                          post_off=post_off, cum_trims=cum_trims,
+                          qs_p=qs_p, c0=c0, c1=c1, o0=o0, pw=pwl):
+                comps = []
+                cmasks = []
+                for (X1, X2, phi, mask, known) in qs_p:
+                    comps.extend([X1, X2])
+                    if sl_interp == "bicubic" and sl_guard is not None:
+                        m = phi < -sl_guard
+                        cmasks.extend([m, m])
+                    else:
+                        cmasks.extend([None, None])
+                adv = _advect_sl_rk4(
+                    comps, u_p, v_p, dt, dx, dy, gx_p, gy_p, Nx, Ny,
+                    interp=sl_interp, masks=cmasks)
+
+                def core(a, roff=0):
+                    return a[halo - roff : halo - roff + sl, o0 : o0 + pw]
+
+                for i, (X1, X2, phi, mask, known) in enumerate(qs_p):
+                    X1a = adv[2 * i] * mask
+                    X2a = adv[2 * i + 1] * mask
+                    kf0 = jnp.where(
+                        known, jnp.ones((), dtype), jnp.zeros((), dtype))
+                    X1e, X2e, eoff = _extrap_sweeps(
+                        X1a, X2a, kf0, fx, fy, extrap_interiors, num_layers,
+                        cum_trims=cum_trims)
+                    ptrim = post_off - eoff
+                    if ptrim:
+                        X1e = X1e[ptrim:-ptrim, :]
+                        X2e = X2e[ptrim:-ptrim, :]
+                    x1e_ref[i, :, c0:c1] = core(X1e, post_off)
+                    x2e_ref[i, :, c0:c1] = core(X2e, post_off)
+
+            if not tile_skip:
+                full_path()
+                continue
+
+            # With no phi <= 0 cell anywhere in the widened panel the full
+            # pipeline collapses exactly: mask == 0 forces X1a = X2a = 0 and
+            # the extrapolation frontier is empty (no known cells), so
+            # X1e = X2e = 0 (same argument as the full kernel's skip, pinned
+            # vs the XLA path in tests/test_pallas.py).
+            any_solid = None
+            for (X1, X2, phi, mask, known) in qs_p:
+                a = jnp.any(valid_p & (phi <= 0.0))
+                any_solid = a if any_solid is None else (any_solid | a)
+
+            pl.when(any_solid)(full_path)
+
+            def skip_path(u_p=u_p, c0=c0, c1=c1, o0=o0, pw=pwl):
+                zeros_c = u_p[halo : halo + sl, o0 : o0 + pw] * 0.0
+                for i in range(S):
+                    x1e_ref[i, :, c0:c1] = zeros_c
+                    x2e_ref[i, :, c0:c1] = zeros_c
+
+            pl.when(jnp.logical_not(any_solid))(skip_path)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dx", "dy", "num_layers", "tile", "interpret",
+                     "Ny_total", "tile_skip", "Nx_total", "panel_width",
+                     "slab_halo", "sl_interp", "sl_guard"),
+)
+def advext_block_fused(
+    u, v, X1s, X2s, phis, dt, *, dx, dy, num_layers, tile=None,
+    interpret=False, row_offset=None, Ny_total=None, tile_skip=True,
+    col_offset=None, Nx_total=None, panel_width=None, slab_halo=False,
+    sl_interp="bilinear", sl_guard=None,
+):
+    """Fused advect→extrapolate pass with the pre-advection ``phis`` given.
+
+    Split-mode kernel A (see module section comment): returns (X1e, X2e)
+    stacks — the advected, masked, ``num_layers``-sweep-extrapolated
+    reference maps, exactly what the XLA path's advection+extrapolation
+    section produces (sim.make_step steps (3)); the caller supplies
+    ``phis`` from whatever rebuild/reinit/area-fix chain the config uses
+    and runs the downstream rebuild/stress/blends in XLA.
+    Sharding offsets (`row_offset`/`Ny_total`/...) follow rmt_block_fused.
+    """
+    S = X1s.shape[0]
+    Ny, Nx = u.shape
+    if Ny_total is None:
+        Ny_total = Ny
+    if Nx_total is None:
+        Nx_total = Nx
+    if panel_width is None:
+        panel_width = _panel_width(Nx)
+    halo = 4 * num_layers + 4
+    if tile is None:
+        tile = 64 if (panel_width < Nx and Ny % 64 == 0) else 32
+    t = min(tile, Ny)
+    while t >= 8 and Ny % t:
+        t //= 2
+    if Ny % t or t < halo:
+        raise ValueError("grid does not tile; call rmt_block_supported")
+
+    dtype = u.dtype
+    fields = [u, v]
+    for i in range(S):
+        fields += [X1s[i], X2s[i], phis[i]]
+    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    roff = 0 if row_offset is None else row_offset
+    coff = 0 if col_offset is None else col_offset
+    off_arr = jnp.stack([
+        jnp.asarray(roff, jnp.int32).reshape(()),
+        jnp.asarray(coff, jnp.int32).reshape(()),
+    ]).reshape(1, 2)
+    grid = (Ny // t,)
+    block = pl.BlockSpec((t, Nx), lambda i: (i, 0))
+    slab_halo = slab_halo and (t % halo == 0) and (Ny % halo == 0)
+    if slab_halo:
+        hpt = t // halo
+        nhb = Ny // halo
+        block_prev = pl.BlockSpec(
+            (halo, Nx), lambda i: (jnp.maximum(i * hpt - 1, 0), 0))
+        block_next = pl.BlockSpec(
+            (halo, Nx), lambda i: (jnp.minimum((i + 1) * hpt, nhb - 1), 0))
+    else:
+        block_prev = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.maximum(i - 1, 0), 0))
+        block_next = pl.BlockSpec(
+            (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
+    scalar_spec = pl.BlockSpec(
+        (1, 1), lambda i: (0, 0),
+        memory_space=pltpu.SMEM if not interpret else None,
+    )
+    off_spec = pl.BlockSpec(
+        (1, 2), lambda i: (0, 0),
+        memory_space=pltpu.SMEM if not interpret else None,
+    )
+    stack_spec = pl.BlockSpec((S, t, Nx), lambda i: (0, i, 0))
+
+    kernel = _make_advext_kernel(
+        float(dx), float(dy), Ny_total, Nx_total, Nx, t, halo, num_layers,
+        bool(tile_skip), int(panel_width), slab_halo, str(sl_interp),
+        None if sl_guard is None else float(sl_guard), S)
+    stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
+    in_specs = [scalar_spec, off_spec]
+    operands = [dt_arr, off_arr]
+    for f in fields:
+        in_specs += [block_prev, block, block_next]
+        operands += [f, f, f]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(stack_spec,) * 2,
+        out_shape=(stackS,) * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    if panel_width < Nx:
+        outs = jax.lax.optimization_barrier(outs)
+    return outs

@@ -219,7 +219,13 @@ def momentum_rk4_sharded_supported(mesh: Mesh, Ny: int, Nx: int, velocity_bc):
 
     gy, gx = mesh.axis_names
     ny, nx = int(mesh.shape[gy]), int(mesh.shape[gx])
-    if Ny % ny or Nx % nx or getattr(velocity_bc, "kernel_spec", None) is None:
+    spec = getattr(velocity_bc, "kernel_spec", None)
+    if Ny % ny or Nx % nx or spec is None:
+        return False
+    if spec[0] == "periodic":
+        # the periodic kernel's wrap halo is not wired through the
+        # shard_map offsets — sharded periodic keeps the XLA path (GSPMD
+        # inserts the wrap collectives itself)
         return False
     ly, lx = Ny // ny, Nx // nx
     if ny > 1 and ly < _HALO:

@@ -336,6 +336,14 @@ def momentum_core(
         # per-shard wrapper from parallel/sharding.py)
         from pyrmt_tpu.kernels.momentum_rk4 import momentum_rk4_pallas
 
+        if velocity_bc.kernel_spec[0] == "periodic":
+            # Make the inputs overlap-consistent BEFORE the kernel: the
+            # in-kernel periodic BC applies the column copy directly but
+            # relies on row Ny-1 == row 0 holding on entry for the row
+            # copy to be the identity (kernels/momentum_rk4._apply_bc).
+            # The XLA path applies the same BC to the stage-1 inputs, so
+            # this pre-application leaves its result unchanged.
+            u, v = velocity_bc(u, v)
         if pallas_rk4_fn is not None:
             return pallas_rk4_fn(
                 u, v, p, sig_sxx_el, sig_sxy_el, sig_syy_el, Hf, rho_local,

@@ -346,27 +346,116 @@ def check_narrow_band(w_t, dx, num_layers):
     return need
 
 
-def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
-    """Config-level conditions under which the fused RMT-block kernel can
-    replace the advect→extrapolate→rebuild→stress block (any impl, incl.
-    the sharded one): semi-Lagrangian gather-free advection (bilinear or
-    band-guarded bicubic final gather — both fused since round 4) with a
-    sub-cell (CFL < 1) backtrace and no level-set post-processing
-    (reinitialisation or the area-conserving shift): both rewrite phi AFTER
-    the rebuild the kernel performs internally, which would desync the
-    kernel's own phi-derived blends (Hf, rho_local, banded stress). Map
-    rebasing also opts out: its rebuild samples SimState.phis0 instead of
-    the analytic closures the kernel bakes in."""
+def _rmt_advect_fusible(cfg: RMTConfig, S: int) -> bool:
+    """Base conditions shared by BOTH fused tiers: semi-Lagrangian
+    gather-free advection (bilinear or band-guarded bicubic final gather)
+    with a sub-cell (CFL < 1) backtrace. ``bc_type='periodic'`` is
+    deliberately NOT gated: the kernels bake the same edge-clamp
+    gather/stencil semantics the XLA solid ops use under periodic BCs, so
+    the two paths remain bitwise twins (pinned for a periodic solid config
+    in tests/test_pallas.py); neither supports a solid crossing the
+    periodic seam — that is rejected explicitly
+    (``check_periodic_seam_clearance`` in make_init_state, and the
+    ``solid_near_periodic_seam`` runtime predicate)."""
     return (
         S >= 1
         and cfg.scheme == "semilagrangian"
         and cfg.sl_local
         and cfg.sl_interp in ("bilinear", "bicubic")
         and cfg.CFL < 1.0
+    )
+
+
+def rmt_block_fusible(cfg: RMTConfig, S: int) -> bool:
+    """Config-level conditions under which the FULL fused RMT-block kernel
+    can replace the advect→extrapolate→rebuild→stress block (any impl,
+    incl. the sharded one): the base advection conditions
+    (``_rmt_advect_fusible``) and no level-set post-processing
+    (reinitialisation or the area-conserving shift): both rewrite phi AFTER
+    the rebuild the kernel performs internally, which would desync the
+    kernel's own phi-derived blends (Hf, rho_local, banded stress). Map
+    rebasing also opts out: its rebuild samples SimState.phis0 instead of
+    the analytic closures the kernel bakes in. Those configs use the SPLIT
+    fused tier instead (``rmt_block_split_eligible``)."""
+    return (
+        _rmt_advect_fusible(cfg, S)
         and cfg.reinit_method == "none"
         and not cfg.phi_area_fix
         and cfg.map_rebase_minj == 0.0
     )
+
+
+def rmt_block_split_eligible(cfg: RMTConfig, S: int) -> bool:
+    """Configs that post-process phi (reinit / area fix / map rebasing) but
+    still satisfy the base advection conditions run the SPLIT fused tier:
+    kernel A (kernels/rmt_block.advext_block_fused) fuses the expensive
+    advect→extrapolate stages with the pre-advection phi as an input, while
+    the rebuild/reinit/area-fix chain and the stress/blends run as the
+    exact XLA ops between the kernel and the fused RK4 momentum. Numerical
+    parity with the pure-XLA path is pinned in tests/test_pallas.py."""
+    return (
+        _rmt_advect_fusible(cfg, S)
+        and not rmt_block_fusible(cfg, S)
+    )
+
+
+def periodic_seam_clearance_cells(cfg: RMTConfig) -> int:
+    """Cells of clearance a solid needs from every domain edge under
+    ``bc_type='periodic'`` for the solid machinery to be seam-safe: the
+    extrapolation band (num_layers), the wider of the Heaviside blend band
+    and the bicubic band guard, plus 2 cells of gather/stencil reach. Both
+    this framework and the reference clamp (rather than wrap) every solid
+    gather/stencil at the domain edge — the reference's own periodic wrap
+    (`/root/reference/pyRMT/functions.py:33-46`, apply_phi_BCs) is applied
+    only at setup/reinit, never inside its interpolators — so a solid
+    crossing the periodic seam is undefined behaviour in BOTH codes. Here
+    it is rejected explicitly instead of silently corrupting the map."""
+    import math
+
+    guard = cfg.sl_band_guard if cfg.sl_interp == "bicubic" else 0.0
+    band = max(math.ceil(cfg.w_t_cells), math.ceil(guard))
+    return cfg.num_layers + band + 2
+
+
+def solid_near_periodic_seam(phis, clear_cells: int):
+    """In-graph predicate: any solid (phi <= 0) cell within ``clear_cells``
+    of a domain edge (= the periodic seam). Drivers running periodic cases
+    poll this on aux['phis'] alongside ``diverged`` — a True means the
+    solid has drifted into the seam-clamped region and the run is no
+    longer trustworthy (see periodic_seam_clearance_cells)."""
+    k = int(clear_cells)
+    solid = phis <= 0.0
+    ring = jnp.zeros_like(solid)
+    ring = ring.at[..., :k, :].set(True).at[..., -k:, :].set(True)
+    ring = ring.at[..., :, :k].set(True).at[..., :, -k:].set(True)
+    return jnp.any(solid & ring)
+
+
+def check_periodic_seam_clearance(cfg: RMTConfig, phi_inits, dtype):
+    """Trace-time rejection (make_init_state): under periodic BCs every
+    initial solid must clear the seam by ``periodic_seam_clearance_cells``
+    — raises ValueError otherwise (the explicit alternative to the
+    silent clamp-vs-wrap corruption both codes would otherwise produce)."""
+    import numpy as np
+
+    k = periodic_seam_clearance_cells(cfg)
+    X, Y = cfg.grid.coords(dtype=dtype)
+    for i, pi in enumerate(phi_inits):
+        phi = np.asarray(pi(X, Y))
+        solid = phi <= 0.0
+        ring = np.zeros_like(solid)
+        ring[:k, :] = ring[-k:, :] = True
+        ring[:, :k] = ring[:, -k:] = True
+        if bool(np.any(solid & ring)):
+            raise ValueError(
+                f"bc_type='periodic': solid {i} starts within {k} cells of "
+                "the periodic seam. Neither this framework nor the "
+                "reference supports a solid crossing the seam (all solid "
+                "gathers/stencils clamp at the domain edge); keep solids "
+                f">= {k} cells clear, or use a larger domain. Poll "
+                "sim.solid_near_periodic_seam during the run to detect "
+                "drift into the seam."
+            )
 
 
 def make_step(
@@ -508,11 +597,17 @@ def make_step(
     rmt_fusible = rmt_block_fusible(cfg, S)
     if rmt_block_impl is not None:
         use_rmt_fused = rmt_fusible
+        use_rmt_split = False
     else:
-        use_rmt_fused = (
+        kernel_ok = rmt_block_supported(g.Ny, cfg.num_layers, S)
+        use_rmt_fused = rmt_method == "pallas" and rmt_fusible and kernel_ok
+        # split tier: phi post-processing configs (reinit / area fix / map
+        # rebasing) fuse the advect→extrapolate stages (kernel A) and run
+        # the phi chain + stress/blends as the exact XLA ops in between
+        use_rmt_split = (
             rmt_method == "pallas"
-            and rmt_fusible
-            and rmt_block_supported(g.Ny, cfg.num_layers, S)
+            and rmt_block_split_eligible(cfg, S)
+            and kernel_ok
         )
 
     from pyrmt_tpu.kernels.projection_stencils import (
@@ -559,15 +654,36 @@ def make_step(
         from pyrmt_tpu.ops.interp import bilinear_interpolate
         from pyrmt_tpu.ops.levelset import reinitialize_phi_fsm
 
+        # Trace-time base level sets: phis0 starts as EXACTLY these arrays
+        # (make_init_state seeds phi_init(X, Y) in the sim dtype) and only
+        # a rebase event ever rewrites a solid's slot. Comparing against
+        # them is the per-step "has this solid rebased yet?" predicate.
+        seeds = tuple(jnp.asarray(pi(X, Y), dtype) for pi in phi_inits)
+
         def rebuild_phis(X1s, X2s, phis0):
             # phi_i(x) = phi0_i(xi_i(x)): sample the CURRENT base level set
-            # at the map — the analytic closures only seed phis0 at t=0.
-            # The generalization of the reference's analytic rebuild
-            # (pyRMT/functions.py:1287-1288) to a non-analytic phi0.
-            return jnp.stack([
-                bilinear_interpolate(phis0[i], X1s[i], X2s[i], dx, dy)
-                for i in range(S)
-            ])
+            # at the map. The generalization of the reference's analytic
+            # rebuild (pyRMT/functions.py:1287-1288) to a non-analytic
+            # phi0. UNTIL a solid's first rebase event phis0_i is still the
+            # analytic seed, so the ANALYTIC rebuild is used instead (exact
+            # — bitwise-identical to rebasing-off, and gather-free, which
+            # keeps untriggered runs at fused-path speed); the bilinear
+            # sampling of the redistanced phis0 only starts once a rebase
+            # has actually rewritten it (round-5 change: round 4 sampled
+            # the seed bilinearly from step 0, which was both slower — a
+            # TPU gather per rebuild — and strictly less accurate).
+            outs = []
+            for i in range(S):
+                sampled = jnp.any(phis0[i] != seeds[i])
+                outs.append(jax.lax.cond(
+                    sampled,
+                    lambda p0, x1, x2: bilinear_interpolate(
+                        p0, x1, x2, dx, dy),
+                    lambda p0, x1, x2, i=i: jnp.asarray(
+                        phi_inits[i](x1, x2), p0.dtype),
+                    phis0[i], X1s[i], X2s[i],
+                ))
+            return jnp.stack(outs)
 
         def maybe_rebase(X1s, X2s, phis, J_s, phis0, active):
             # In-graph min-J trigger (see RMTConfig.map_rebase_minj): when a
@@ -647,39 +763,86 @@ def make_step(
         active = dt > 0.0
         dt = jnp.where(active, dt, jnp.asarray(1.0, dtype))
 
-        if use_rmt_fused:
-            # (2)-(4) + stress/blends in ONE Pallas pass (kernels/rmt_block).
+        if use_rmt_fused or use_rmt_split:
+            # (2)-(4) + stress/blends in ONE Pallas pass (kernels/rmt_block)
+            # — or, in SPLIT mode, kernel A (fused advect→extrapolate) with
+            # the phi rebuild/reinit/area-fix chain and the stress/blends as
+            # the exact XLA ops around it (rmt_block_split_eligible).
             # On no-op (dt-frozen) steps the STATE stays exactly frozen below;
             # only the aux diagnostics reflect the discarded trial step
             # (the XLA path recomputes them from the frozen maps instead).
             import functools
 
-            from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+            from pyrmt_tpu.kernels.rmt_block import (
+                advext_block_fused,
+                rmt_block_fused,
+            )
             from pyrmt_tpu.physics import external_forces, momentum_core
 
-            if rmt_block_impl is not None:
-                rmt_fn = rmt_block_impl
-            else:
-                tuning = {}
-                if cfg.rmt_panel_width is not None:
-                    tuning["panel_width"] = cfg.rmt_panel_width
-                if cfg.rmt_tile is not None:
-                    tuning["tile"] = cfg.rmt_tile
-                if cfg.kernel_slab_halo:
-                    tuning["slab_halo"] = True
-                rmt_fn = (functools.partial(rmt_block_fused, **tuning)
-                          if tuning else rmt_block_fused)
+            tuning = {}
+            if cfg.rmt_panel_width is not None:
+                tuning["panel_width"] = cfg.rmt_panel_width
+            if cfg.rmt_tile is not None:
+                tuning["tile"] = cfg.rmt_tile
+            if cfg.kernel_slab_halo:
+                tuning["slab_halo"] = True
             sl_guard = (cfg.sl_band_guard * max(dx, dy)
                         if (cfg.sl_interp == "bicubic"
                             and cfg.sl_band_guard > 0.0) else None)
-            (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
-             sb_xx, sb_xy, sb_yy) = rmt_fn(
-                u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits), dx=dx, dy=dy,
-                num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=cfg.mu_s,
-                kappa=cfg.kappa, rho_s=cfg.rho_s, rho_f=cfg.rho_f,
-                stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
-                sl_interp=cfg.sl_interp, sl_guard=sl_guard,
-            )
+            if use_rmt_split:
+                from pyrmt_tpu.ops.stress import solid_cauchy_stress
+
+                # (2) pre-advection phi chain (exact XLA ops)
+                phis_pre = rebuild_phis(X1s, X2s, state.phis0)
+                if cfg.reinit_method != "none":
+                    phis_pre = jnp.stack([
+                        reinitialize_level_set(
+                            phis_pre[i], dx, dy, method=cfg.reinit_method,
+                            num_iters=cfg.reinit_iters,
+                        )
+                        for i in range(S)
+                    ])
+                if cfg.phi_area_fix:
+                    phis_pre = fix_areas(phis_pre)
+                # (3) fused advect + mask + extrapolate (kernel A)
+                X1e, X2e = advext_block_fused(
+                    u, v, X1s, X2s, phis_pre, dt, dx=dx, dy=dy,
+                    num_layers=cfg.num_layers, sl_interp=cfg.sl_interp,
+                    sl_guard=sl_guard, **tuning,
+                )
+                # (4) rebuild from the advected map (+ area fix), then the
+                # stress/blend twins of the full kernel's outputs
+                phis = rebuild_phis(X1e, X2e, state.phis0)
+                if cfg.phi_area_fix:
+                    phis = fix_areas(phis)
+                stress_fn = lambda x1, x2, ph: solid_cauchy_stress(
+                    x1, x2, dx, dy, cfg.mu_s, cfg.kappa, ph,
+                    w_cut=stress_w_cut, detg_clamp=stress_clamp)
+                sxx_s, sxy_s, syy_s, J_s = jax.vmap(stress_fn)(
+                    X1e, X2e, phis)
+                H_bl = smoothed_heaviside(phis, cfg.w_t)
+                one_mH = 1.0 - H_bl
+                Hf = jnp.sum(H_bl, axis=0) - (S - 1.0)
+                rho_local = (Hf * cfg.rho_f
+                             + jnp.sum(one_mH, axis=0) * cfg.rho_s)
+                sb_xx = jnp.sum(one_mH * sxx_s, axis=0)
+                sb_xy = jnp.sum(one_mH * sxy_s, axis=0)
+                sb_yy = jnp.sum(one_mH * syy_s, axis=0)
+            else:
+                if rmt_block_impl is not None:
+                    rmt_fn = rmt_block_impl
+                else:
+                    rmt_fn = (functools.partial(rmt_block_fused, **tuning)
+                              if tuning else rmt_block_fused)
+                (X1e, X2e, phis, sxx_s, sxy_s, syy_s, J_s, Hf, rho_local,
+                 sb_xx, sb_xy, sb_yy) = rmt_fn(
+                    u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits),
+                    dx=dx, dy=dy,
+                    num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=cfg.mu_s,
+                    kappa=cfg.kappa, rho_s=cfg.rho_s, rho_f=cfg.rho_f,
+                    stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
+                    sl_interp=cfg.sl_interp, sl_guard=sl_guard,
+                )
             X1s = jnp.where(active, X1e, state.X1)
             X2s = jnp.where(active, X2e, state.X2)
 
@@ -753,13 +916,21 @@ def make_step(
             )
             u_new, v_new, p_new = proj_out[:3]
 
+            # (5b) map rebasing (split tier only — the full fused kernel
+            # excludes rebasing configs): reset folding maps against a
+            # redistanced base level set, exactly as in the XLA branch
+            phis0_new = state.phis0
+            if rebasing:
+                X1s, X2s, phis0_new, rebase_flags = maybe_rebase(
+                    X1s, X2s, phis, J_s, state.phis0, active)
+
             frz = lambda new, old: jnp.where(active, new, old)
             new_state = SimState(
                 u=frz(u_new, state.u), v=frz(v_new, state.v),
                 p=frz(p_new, state.p), X1=X1s, X2=X2s,
                 t=state.t + jnp.where(active, dt, 0.0).astype(dtype),
                 step=state.step + jnp.where(active, 1, 0).astype(jnp.int32),
-                phis0=state.phis0,
+                phis0=phis0_new,
             )
             aux = {
                 "dt": jnp.where(active, dt, 0.0).astype(dtype),
@@ -772,6 +943,8 @@ def make_step(
             }
             if cfg.variable_rho:
                 aux["cg_iters"], aux["cg_relres"] = proj_out[3]
+            if rebasing:
+                aux["rebased"] = rebase_flags
             return new_state, aux
 
         if S > 0:
@@ -958,6 +1131,8 @@ def make_init_state(
     solid and extrapolated ``num_layers`` into the fluid (the same setup as
     every reference driver)."""
     g = cfg.grid
+    if cfg.bc_type == "periodic" and len(phi_inits) > 0:
+        check_periodic_seam_clearance(cfg, phi_inits, dtype)
     X, Y = g.coords(dtype=dtype)
     S = len(phi_inits)
     zeros = jnp.zeros(g.shape, dtype)

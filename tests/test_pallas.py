@@ -600,3 +600,251 @@ def test_rmt_block_bicubic_multi_panel_parity():
                                 tile_skip=skip, panel_width=32, **kw)
         for x, y in zip(multi, single):
             assert float(jnp.max(jnp.abs(x - y))) == 0.0
+
+
+def _split_step_pair(cfg, phi_inits, u0=None, v0=None):
+    """Build (XLA step, split-fused step, init state) for a config on the
+    split tier, with kernel A forced into interpret mode."""
+    import dataclasses
+    import functools
+
+    import pyrmt_tpu.kernels.rmt_block as rb
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.sim import (
+        make_init_state,
+        make_step,
+        rmt_block_split_eligible,
+    )
+
+    assert rmt_block_split_eligible(cfg, len(phi_inits))
+    bc = make_lid_bc(1.0)
+    state = make_init_state(cfg, phi_inits, u0=u0, v0=v0, dtype=jnp.float64)
+    orig = rb.advext_block_fused
+    rb.advext_block_fused = functools.partial(orig, interpret=True)
+
+    def restore():
+        rb.advext_block_fused = orig
+
+    step_x = make_step(dataclasses.replace(cfg, rmt_method="xla"),
+                       bc, phi_inits, dtype=jnp.float64)
+    step_p = make_step(dataclasses.replace(cfg, rmt_method="pallas"),
+                       bc, phi_inits, dtype=jnp.float64)
+    return step_x, step_p, state, restore
+
+
+def _assert_split_matches(cfg, phi_inits, n_steps=3, u0=None, v0=None,
+                          check_aux=()):
+    t_end = jnp.asarray(1.0, jnp.float64)
+    step_x, step_p, state, restore = _split_step_pair(
+        cfg, phi_inits, u0=u0, v0=v0)
+    try:
+        sx, sp = state, state
+        for _ in range(n_steps):
+            sx, ax = step_x(sx, t_end)
+            sp, ap = step_p(sp, t_end)
+        assert np.allclose(np.asarray(sx.u), np.asarray(sp.u), atol=1e-13)
+        assert np.allclose(np.asarray(sx.v), np.asarray(sp.v), atol=1e-13)
+        assert np.allclose(np.asarray(sx.p), np.asarray(sp.p), atol=1e-12)
+        assert np.allclose(np.asarray(sx.X1), np.asarray(sp.X1), atol=1e-13)
+        assert np.allclose(np.asarray(sx.X2), np.asarray(sp.X2), atol=1e-13)
+        assert np.allclose(np.asarray(sx.phis0), np.asarray(sp.phis0),
+                           atol=1e-13)
+        for k in check_aux:
+            assert np.allclose(np.asarray(ax[k]), np.asarray(ap[k]),
+                               atol=1e-12), k
+        return sx, sp
+    finally:
+        restore()
+
+
+def _tg_u0(g):
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.4 * jnp.sin(jnp.pi * X) * jnp.cos(jnp.pi * Y)
+    v = -0.4 * jnp.cos(jnp.pi * X) * jnp.sin(jnp.pi * Y)
+    return u, v
+
+
+def test_split_tier_area_fix_matches_xla():
+    """Split tier (kernel A + XLA phi chain): phi_area_fix config equals the
+    pure-XLA path to roundoff over multi-step runs (VERDICT r4 #1)."""
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.55) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.05, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    num_layers=3, CFL=0.2, dt_min_cap=1e-3,
+                    phi_area_fix=True)
+    u0, v0 = _tg_u0(g)
+    _assert_split_matches(cfg, (phi_init,), u0=u0, v0=v0,
+                          check_aux=("phis", "J", "sxx"))
+
+
+def test_split_tier_reinit_matches_xla():
+    """Split tier with per-step reinitialisation ('pde' and 'fmm')."""
+    import dataclasses
+
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.55) ** 2 + (Y - 0.5) ** 2) - 0.2
+    base = RMTConfig(grid=g, mu_s=0.05, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                     num_layers=3, CFL=0.2, dt_min_cap=1e-3,
+                     reinit_method="pde", reinit_iters=5)
+    u0, v0 = _tg_u0(g)
+    _assert_split_matches(base, (phi_init,), u0=u0, v0=v0,
+                          check_aux=("phis",))
+    _assert_split_matches(
+        dataclasses.replace(base, reinit_method="fmm"), (phi_init,),
+        u0=u0, v0=v0, check_aux=("phis",))
+
+
+def test_split_tier_rebasing_matches_xla():
+    """Split tier with map rebasing: untriggered (analytic-rebuild cond
+    branch) and always-triggered (phis0 sampling + FSM redistance under
+    lax.cond) both equal the XLA path; the untriggered run is also
+    bitwise-consistent with rebasing OFF (round-5 semantics: the bilinear
+    phis0 sampling only starts at the first actual rebase event)."""
+    import dataclasses
+
+    from pyrmt_tpu.bcs import make_lid_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.55) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.02, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    num_layers=3, CFL=0.2, dt_min_cap=1e-3,
+                    map_rebase_minj=1e-9)
+    u0, v0 = _tg_u0(g)
+    sx, _ = _assert_split_matches(cfg, (phi_init,), u0=u0, v0=v0,
+                                  check_aux=("phis", "rebased"))
+
+    # untriggered == rebasing-off, exactly (the analytic-rebuild branch)
+    t_end = jnp.asarray(1.0, jnp.float64)
+    cfg_off = dataclasses.replace(cfg, map_rebase_minj=0.0,
+                                  rmt_method="xla")
+    step_off = make_step(cfg_off, make_lid_bc(1.0), (phi_init,),
+                         dtype=jnp.float64)
+    s_off = make_init_state(cfg_off, (phi_init,), u0=u0, v0=v0,
+                            dtype=jnp.float64)
+    for _ in range(3):
+        s_off, _ = step_off(s_off, t_end)
+    assert np.allclose(np.asarray(sx.u), np.asarray(s_off.u), atol=0.0)
+    assert np.allclose(np.asarray(sx.X1), np.asarray(s_off.X1), atol=0.0)
+
+    # always-triggered: FSM redistance + identity reset every step
+    cfg_t = dataclasses.replace(cfg, map_rebase_minj=10.0)
+    _assert_split_matches(cfg_t, (phi_init,), u0=u0, v0=v0,
+                          check_aux=("phis", "rebased"))
+
+
+def test_split_tier_bicubic_area_fix_matches_xla():
+    """Split tier with the band-guarded bicubic final gather + area fix."""
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.55) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.05, rho_s=1.0, mu_f=0.01, rho_f=1.0,
+                    num_layers=3, CFL=0.2, dt_min_cap=1e-3,
+                    phi_area_fix=True, sl_interp="bicubic")
+    u0, v0 = _tg_u0(g)
+    _assert_split_matches(cfg, (phi_init,), u0=u0, v0=v0,
+                          check_aux=("phis", "J"))
+
+
+def test_periodic_momentum_kernel_matches_xla_path():
+    """Round-5: the fused RK4 momentum kernel's ('periodic',) spec (wrap
+    stencils + overlap-identity row handling) equals the XLA periodic path
+    (velocity_rhs_blended(periodic=True)) to roundoff, seam rows/cols
+    included, for a solid clear of the seam."""
+    import functools
+
+    import pyrmt_tpu.kernels.momentum_rk4 as mk
+    from pyrmt_tpu.bcs import periodic_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.ops.extrapolate import extrapolate_reference_map
+    from pyrmt_tpu.physics import momentum_step_rk4_multi
+
+    N = 64
+    g = Grid(Nx=N, Ny=N, Lx=1.0, Ly=1.0)
+    X, Y = g.coords(dtype=jnp.float64)
+
+    def per(f):
+        return f.at[-1, :].set(f[0, :]).at[:, -1].set(f[:, 0])
+
+    u = per(0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y))
+    v = per(-0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y))
+    p = per(0.1 * jnp.cos(2 * jnp.pi * X) * jnp.cos(4 * jnp.pi * Y))
+    phi = jnp.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.2
+    mask = (phi <= 0).astype(jnp.float64)
+    X1e, X2e = extrapolate_reference_map(
+        X * mask, Y * mask, phi, g.dx, g.dy, 3)
+    kw = dict(mu_s=0.05, kappa=0.0, eta_s=0.01, dx=g.dx, dy=g.dy, dt=1e-3,
+              rho_s=1.0, rho_f=1.0, mu_f=0.01, w_t=2 * g.dx, periodic=True)
+    ux, vx, *_ = momentum_step_rk4_multi(
+        u, v, p, X1e[None], X2e[None], phi[None], periodic_bc,
+        use_pallas_rk4=False, **kw)
+    orig = mk.momentum_rk4_pallas
+    mk.momentum_rk4_pallas = functools.partial(orig, interpret=True)
+    try:
+        uk, vk, *_ = momentum_step_rk4_multi(
+            u, v, p, X1e[None], X2e[None], phi[None], periodic_bc,
+            use_pallas_rk4=True, **kw)
+    finally:
+        mk.momentum_rk4_pallas = orig
+    assert np.allclose(np.asarray(ux), np.asarray(uk), atol=1e-13)
+    assert np.allclose(np.asarray(vx), np.asarray(vk), atol=1e-13)
+    # seam rows/cols exactly consistent
+    assert float(jnp.max(jnp.abs(uk[-1] - uk[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(vk[:, -1] - vk[:, 0]))) < 1e-15
+
+
+def test_periodic_solid_fused_step_matches_xla():
+    """Round-5 (VERDICT r4 weak #4): a periodic solid config through the
+    FUSED tier (RMT block + periodic momentum kernel) equals the XLA path —
+    both bake the same edge-clamp gather semantics, and the seam guard
+    keeps solids where clamp semantics are never exercised."""
+    import dataclasses
+    import functools
+
+    import pyrmt_tpu.kernels.momentum_rk4 as mk
+    import pyrmt_tpu.kernels.rmt_block as rb
+    from pyrmt_tpu.bcs import periodic_bc
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.sim import RMTConfig, make_init_state, make_step
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.5) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.02, mu_f=0.01, rho_s=1.0, rho_f=1.0,
+                    bc_type="periodic", CFL=0.2, dt_min_cap=1e-3)
+    X, Y = g.coords(dtype=jnp.float64)
+    u0 = 0.2 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v0 = -0.2 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    state = make_init_state(cfg, (phi_init,), u0=u0, v0=v0,
+                            dtype=jnp.float64)
+    orig_rb = rb.rmt_block_fused
+    orig_mk = mk.momentum_rk4_pallas
+    rb.rmt_block_fused = functools.partial(orig_rb, interpret=True)
+    mk.momentum_rk4_pallas = functools.partial(orig_mk, interpret=True)
+    try:
+        t_end = jnp.asarray(1.0, jnp.float64)
+        step_x = make_step(dataclasses.replace(
+            cfg, rmt_method="xla", momentum_method="xla"),
+            periodic_bc, (phi_init,), dtype=jnp.float64)
+        step_p = make_step(dataclasses.replace(
+            cfg, rmt_method="pallas", momentum_method="pallas"),
+            periodic_bc, (phi_init,), dtype=jnp.float64)
+        sx, sp = state, state
+        for _ in range(3):
+            sx, _ = step_x(sx, t_end)
+            sp, _ = step_p(sp, t_end)
+        assert np.allclose(np.asarray(sx.u), np.asarray(sp.u), atol=1e-13)
+        assert np.allclose(np.asarray(sx.v), np.asarray(sp.v), atol=1e-13)
+        assert np.allclose(np.asarray(sx.p), np.asarray(sp.p), atol=1e-12)
+        assert np.allclose(np.asarray(sx.X1), np.asarray(sp.X1), atol=1e-13)
+    finally:
+        rb.rmt_block_fused = orig_rb
+        mk.momentum_rk4_pallas = orig_mk
