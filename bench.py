@@ -25,7 +25,7 @@ import time
 
 def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
          dct_highest=False, sl_bicubic=False, rebase=False, areafix=False,
-         reinit=None):
+         reinit=None, periodic=False, donate=False):
     import pyrmt_tpu.runtime as rt
 
     rt.setup()
@@ -59,22 +59,46 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
         cfg = dataclasses.replace(cfg, phi_area_fix=True)
     if reinit:
         cfg = dataclasses.replace(cfg, reinit_method=reinit)
+    u0 = v0 = None
+    if periodic:
+        # round 5 (VERDICT r4 #3): the doubly-periodic stack's perf row —
+        # same solid, periodic wrap BCs (FFT projection + wrap momentum
+        # kernel + the fused RMT block, seam-clear solid), seeded with a
+        # decaying TG vortex so the flow/dt are nontrivial
+        from pyrmt_tpu.bcs import periodic_bc
+
+        cfg = dataclasses.replace(cfg, bc_type="periodic")
+        bc = periodic_bc
+        X, Y = cfg.grid.coords(jnp.float32)
+        u0 = 0.5 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+        v0 = -0.5 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
     step = make_step(cfg, bc, phi_inits, dtype=jnp.float32)
-    state = make_init_state(cfg, phi_inits, dtype=jnp.float32)
+    state = make_init_state(cfg, phi_inits, u0=u0, v0=v0, dtype=jnp.float32)
     t_end = jnp.asarray(1e9, jnp.float32)
 
-    chunk = make_run_chunk(step, n_steps)
+    chunk = make_run_chunk(step, n_steps, donate=donate)
 
     # warmup / compile
     state_w, _ = chunk(state, t_end)
     jax.block_until_ready(state_w.u)
 
     wall = 1e18
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state2, ts = chunk(state_w, t_end)
-        jax.block_until_ready(state2.u)
-        wall = min(wall, time.perf_counter() - t0)
+    if donate:
+        # donated input buffers are consumed — CHAIN the state through the
+        # timed chunks instead of re-running from state_w (same adaptive-dt
+        # steady regime; what the N=8192 row needs to fit in HBM)
+        s = state_w
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s, _ = chunk(s, t_end)
+            jax.block_until_ready(s.u)
+            wall = min(wall, time.perf_counter() - t0)
+    else:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state2, ts = chunk(state_w, t_end)
+            jax.block_until_ready(state2.u)
+            wall = min(wall, time.perf_counter() - t0)
 
     step_ms = wall / n_steps * 1e3
     steps_per_sec = n_steps / wall
@@ -92,6 +116,8 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
         variant += f"_reinit_{reinit}"
     if sl_bicubic:
         variant += "_bicubic"
+    if periodic:
+        variant += "_periodic"
     print(json.dumps({
         "metric": f"fsi_steps_per_sec_N{N}" + variant,
         "value": round(steps_per_sec, 3),
@@ -107,6 +133,8 @@ if __name__ == "__main__":
     sl_bicubic = "--bicubic" in sys.argv
     rebase = "--rebase" in sys.argv
     areafix = "--areafix" in sys.argv
+    periodic = "--periodic" in sys.argv
+    donate = "--donate" in sys.argv
     reinit = None
     for a in sys.argv[1:]:
         if a.startswith("--reinit="):
@@ -116,4 +144,4 @@ if __name__ == "__main__":
     n_steps = int(args[1]) if len(args) > 1 else 2000
     main(N=N, n_steps=n_steps, use_pallas=use_pallas, no_slab=no_slab,
          dct_highest=dct_highest, sl_bicubic=sl_bicubic, rebase=rebase,
-         areafix=areafix, reinit=reinit)
+         areafix=areafix, reinit=reinit, periodic=periodic, donate=donate)

@@ -418,15 +418,22 @@ def _panel_width(Nx):
 
 
 def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
-                 w_t, mu_s, kappa, rho_s, rho_f, stress_w_cut, stress_clamp,
+                 w_t, stress_w_cut, stress_clamp,
                  tile_skip, pw, slab_halo, sl_interp, sl_guard):
     """``Ny``/``Nx`` are the GLOBAL domain extents (masks, advection clamp);
     ``Nxl`` is the input slab width (== Nx single-device, local cols +
-    2*halo under the 2D shard_map wrapper); ``pw`` the column-panel width."""
+    2*halo under the 2D shard_map wrapper); ``pw`` the column-panel width.
+
+    The physics scalars (mu_s, kappa, rho_s, rho_f) arrive as SMEM scalar
+    operands (``sc_ref`` columns 1-4, dt in column 0) rather than baked
+    constants, so TRACED values reach the fused kernel — this is what lets
+    ``make_step(traced_params=...)`` differentiate w.r.t. physics scalars
+    while keeping the fused forward (round 5; the VJP is still the XLA
+    twin's, diff.make_diff_step)."""
     S = len(phi_inits)
     fx, fy = _kernels_1d(dx, dy)
 
-    def kernel(dt_ref, off_ref, *refs):
+    def kernel(sc_ref, off_ref, *refs):
         # each input field arrives as its OWN (tile, Nxl) prev/cur/next ref
         # triple instead of one stacked (C, tile, Nxl) ref: the stack
         # assembly cost ~27 us/step of HBM concat fusions at N=1024, while
@@ -436,7 +443,11 @@ def _make_kernel(phi_inits, dx, dy, Ny, Nx, Nxl, tile, halo, num_layers,
         (x1e_ref, x2e_ref, phi_ref, sxx_ref, sxy_ref, syy_ref, j_ref,
          hf_ref, rho_ref, sbxx_ref, sbxy_ref, sbyy_ref) = refs[3 * C :]
         t = pl.program_id(0)
-        dt = dt_ref[0, 0]
+        dt = sc_ref[0, 0]
+        mu_s = sc_ref[0, 1]
+        kappa = sc_ref[0, 2]
+        rho_s = sc_ref[0, 3]
+        rho_f = sc_ref[0, 4]
 
         def widen(k):
             prev, cur, nxt = ins[3 * k], ins[3 * k + 1], ins[3 * k + 2]
@@ -685,8 +696,8 @@ def rmt_block_supported(Ny, num_layers, S):
 
 @partial(
     jax.jit,
-    static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t", "mu_s",
-                     "kappa", "rho_s", "rho_f", "stress_w_cut",
+    static_argnames=("phi_inits", "dx", "dy", "num_layers", "w_t",
+                     "stress_w_cut",
                      "stress_clamp", "tile", "interpret", "Ny_total",
                      "tile_skip", "Nx_total", "panel_width", "slab_halo",
                      "sl_interp", "sl_guard"),
@@ -753,7 +764,13 @@ def rmt_block_fused(
     fields = [u, v]
     for i in range(S):
         fields += [X1s[i], X2s[i]]
-    dt_arr = jnp.asarray(dt, dtype).reshape(1, 1)
+    # dt + physics scalars as ONE (1, 5) SMEM operand: traced values (from
+    # make_step's traced_params mode) and Python floats both land here, so
+    # the compiled kernel is shared across parameter values.
+    sc_arr = jnp.stack([
+        jnp.asarray(x, dtype).reshape(())
+        for x in (dt, mu_s, kappa, rho_s, rho_f)
+    ]).reshape(1, 5)
     roff = 0 if row_offset is None else row_offset
     coff = 0 if col_offset is None else col_offset
     off_arr = jnp.stack([
@@ -781,7 +798,7 @@ def rmt_block_fused(
         block_next = pl.BlockSpec(
             (t, Nx), lambda i: (jnp.minimum(i + 1, grid[0] - 1), 0))
     scalar_spec = pl.BlockSpec(
-        (1, 1), lambda i: (0, 0),
+        (1, 5), lambda i: (0, 0),
         memory_space=pltpu.SMEM if not interpret else None,
     )
     off_spec = pl.BlockSpec(
@@ -794,14 +811,14 @@ def rmt_block_fused(
     kernel = _make_kernel(
         phi_inits, float(dx), float(dy), Ny_total, Nx_total, Nx, t, halo,
         num_layers,
-        float(w_t), float(mu_s), float(kappa), float(rho_s), float(rho_f),
+        float(w_t),
         float(stress_w_cut), float(stress_clamp), bool(tile_skip),
         int(panel_width), slab_halo, str(sl_interp),
         None if sl_guard is None else float(sl_guard))
     stackS = jax.ShapeDtypeStruct((S, Ny, Nx), dtype)
     field = jax.ShapeDtypeStruct((Ny, Nx), dtype)
     in_specs = [scalar_spec, off_spec]
-    operands = [dt_arr, off_arr]
+    operands = [sc_arr, off_arr]
     for f in fields:
         in_specs += [block_prev, block, block_next]
         operands += [f, f, f]

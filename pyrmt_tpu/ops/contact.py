@@ -22,7 +22,15 @@ def compute_contact_force(phi1, phi2, k_rep, w_c, dx, dy):
 
     g12x = grad_central_x_2nd(phi12, dx)
     g12y = grad_central_y_2nd(phi12, dy)
-    gmag = jnp.sqrt(g12x**2 + g12y**2) + 1e-12
+    # AD-safe norm (double-where): where |grad phi12| == 0 (flat mid-surface
+    # far from both solids) the raw sqrt's reverse rule is inf and the zero
+    # cotangent from delta==0 makes 0*inf = NaN, poisoning every gradient of
+    # a contact config (round-5 dryrun gradient tier). Forward is BITWISE
+    # the old value: sqrt evaluates to the same number wherever sq > 0, and
+    # the zero branch reproduces sqrt(0) = 0.
+    sq = g12x**2 + g12y**2
+    pos = sq > 0.0
+    gmag = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0) + 1e-12
     n12x = g12x / gmag
     n12y = g12y / gmag
 

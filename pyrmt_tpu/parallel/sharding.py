@@ -257,7 +257,7 @@ def rmt_block_sharded_supported(mesh: Mesh, Ny: int, Nx: int,
 
 
 def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
-                      rmt_method=None, interpret=None):
+                      rmt_method=None, interpret=None, traced_params=None):
     """Jit the FSI step with explicit in/out shardings over ``mesh``.
 
     The step body is IDENTICAL to the single-chip one — the partitioner owns
@@ -270,6 +270,13 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
     follows the same choice (make_momentum_rk4_sharded) when the BC carries
     a kernel_spec. ``interpret`` forces Pallas interpret mode (CPU testing);
     defaults to True off-TPU.
+
+    ``traced_params`` (round 5, see sim.make_step): the returned step is
+    then ``step(state, t_end, params)`` with the named physics scalars
+    REPLICATED over the mesh — sharded physics-scalar gradients compose
+    with GSPMD (the dryrun's gradient tier pins this). Requires
+    ``rmt_method='xla'`` (the shard_map Pallas wrapper closes over the
+    scalars).
     """
     import dataclasses
 
@@ -316,18 +323,32 @@ def make_sharded_step(cfg, velocity_bc, phi_inits, mesh: Mesh, dtype=None,
         cfg, extrap_method="xla", momentum_method="xla", rmt_method="xla",
         projection_method="xla", use_pallas_rhs=False,
     )
+    if traced_params is not None and rmt_impl is not None:
+        raise ValueError(
+            "traced_params requires rmt_method='xla' (the shard_map "
+            "Pallas wrapper closes over the physics scalars)")
     base_step = make_step(cfg, velocity_bc, phi_inits, dtype=dtype,
                           rmt_block_impl=rmt_impl,
-                          momentum_rk4_impl=mom_impl)
+                          momentum_rk4_impl=mom_impl,
+                          traced_params=traced_params)
     sh = state_sharding(mesh, rebasing=cfg.map_rebase_minj > 0.0 and S > 0,
                         S=S)
     scalar = NamedSharding(mesh, P())
 
-    step = jax.jit(
-        lambda s, t_end: base_step(s, t_end),
-        in_shardings=(sh, scalar),
-        out_shardings=None,  # let the partitioner propagate
-    )
+    if traced_params is not None:
+        step = jax.jit(
+            lambda s, t_end, params: base_step(s, t_end, params),
+            # `scalar` is a pytree PREFIX for the params dict: every named
+            # physics scalar is replicated
+            in_shardings=(sh, scalar, scalar),
+            out_shardings=None,
+        )
+    else:
+        step = jax.jit(
+            lambda s, t_end: base_step(s, t_end),
+            in_shardings=(sh, scalar),
+            out_shardings=None,  # let the partitioner propagate
+        )
 
     def shard(state):
         return jax.tree.map(jax.device_put, _normalize_phis0(state), sh)

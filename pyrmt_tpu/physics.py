@@ -37,15 +37,52 @@ def compute_timestep(
 ):
     """Adaptive dt: min of solid P-wave CFL, fluid advection CFL, Brackbill
     capillary, viscous diffusion, and dt_min_cap
-    (parity: pyRMT/functions.py:165-192). Everything but the fluid CFL is a
-    compile-time constant; the single traced reduction is max|u|."""
+    (parity: pyRMT/functions.py:165-192). With Python-float scalars
+    everything but the fluid CFL is a compile-time constant (the single
+    traced reduction is max|u|); TRACED physics scalars (from
+    ``sim.make_step(traced_params=...)``) take an equivalent jnp path whose
+    guards are AD-safe double-wheres, so d(dt)/d(mu_s) etc. flow through
+    the adaptive timestep exactly."""
     import numpy as np
+
+    # AD-safe speed norm (double-where): at exact-zero velocity cells
+    # (walls, from-rest fields) the raw sqrt's reverse rule is inf and the
+    # max-VJP's zero cotangent there makes 0*inf = NaN — this poisoned
+    # every adaptive-dt gradient (round-5 dryrun gradient tier). Forward
+    # bitwise-identical: sqrt(0) == the zero branch.
+    sq = a**2 + b**2
+    pos = sq > 0.0
+    u_max = jnp.max(jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0))
+    dt_fluid = CFL * dx / (u_max + 1e-6)
+
+    if any(isinstance(s, jax.Array)
+           for s in (mu_s, rho_s, gamma, rho_f, mu_f, eta_s, kappa)):
+        p_arg = (kappa + mu_s * 4.0 / 3.0) / (rho_s + 1e-12)
+        cs_solid = jnp.sqrt(jnp.maximum(p_arg, 1e-30))
+        dt_solid = CFL * dx / (cs_solid + 1e-14)
+
+        # 1.0 is the float path's *disabled* default for dt_st/dt_visc,
+        # NOT a cap on the computed values — mirror that exactly
+        st_on = gamma > 1e-12
+        g_safe = jnp.where(st_on, gamma, 1.0)
+        rho_avg = 0.5 * (rho_s + rho_f)
+        dt_st = jnp.where(
+            st_on,
+            jnp.sqrt((rho_avg * dx**3) / (2.0 * np.pi * g_safe)) * 0.5,
+            1.0)
+
+        mu_max = jnp.maximum(mu_f, eta_s)
+        rho_min = jnp.minimum(rho_s, rho_f)
+        v_on = (mu_max > 1e-12) & (rho_min > 1e-12)
+        mu_safe = jnp.where(v_on, mu_max, 1.0)
+        dt_visc = jnp.where(v_on, CFL * rho_min * dx**2 / (4.0 * mu_safe),
+                            1.0)
+        dt_static = jnp.minimum(jnp.minimum(dt_solid, dt_st),
+                                jnp.minimum(dt_visc, dt_min_cap))
+        return jnp.minimum(dt_fluid, dt_static).astype(u_max.dtype)
 
     cs_solid = np.sqrt((kappa + mu_s * 4.0 / 3.0) / (rho_s + 1e-12))
     dt_solid = CFL * dx / (cs_solid + 1e-14)
-
-    u_max = jnp.max(jnp.sqrt(a**2 + b**2))
-    dt_fluid = CFL * dx / (u_max + 1e-6)
 
     dt_st = 1.0
     if gamma > 1e-12:
@@ -144,14 +181,22 @@ def _solid_curvature(phi, dx, dy, w_t, curvature, kappa_interface,
 
 
 def external_forces(phis, H_s, dx, dy, *, gamma, k_rep, w_c, w_t,
-                    curvature="fd", kappa_interface=False, hf_smooth=0):
+                    curvature="fd", kappa_interface=False, hf_smooth=0,
+                    st_enabled=None):
     """CSF surface tension + pairwise repulsive contact, constant over the
-    RK4 stages (parity: pyRMT/functions.py:621-628 and :785-816)."""
+    RK4 stages (parity: pyRMT/functions.py:621-628 and :785-816).
+
+    ``st_enabled`` (static bool) decouples the structural surface-tension
+    gate from ``gamma``'s VALUE so a traced gamma (make_step's
+    traced_params mode) can flow through; None derives it from gamma as
+    before (requires a Python float)."""
     S = phis.shape[0]
     shape = phis.shape[1:]
     f_ext_x = jnp.zeros(shape, phis.dtype)
     f_ext_y = jnp.zeros(shape, phis.dtype)
-    if gamma > 1e-12:
+    if st_enabled is None:
+        st_enabled = gamma > 1e-12
+    if st_enabled:
         for i in range(S):
             kap = _solid_curvature(phis[i], dx, dy, w_t, curvature,
                                    kappa_interface, hf_smooth=hf_smooth)
@@ -254,7 +299,7 @@ def momentum_step_rk4_multi(
     g_x=0.0, g_y=0.0, g_rho_ref=None, ext_override=None,
     st_curvature="fd", st_kappa_interface=False, st_hf_smooth=0,
     use_pallas_rhs=False, use_pallas_rk4=False, pallas_rk4_fn=None,
-    pallas_rk4_kwargs=None, periodic=False,
+    pallas_rk4_kwargs=None, periodic=False, st_enabled=None,
 ):
     """Generic n-solid RK4 momentum step.
 
@@ -290,7 +335,7 @@ def momentum_step_rk4_multi(
         f_ext_x, f_ext_y = external_forces(
             phis, H_s, dx, dy, gamma=gamma, k_rep=k_rep, w_c=w_c, w_t=w_t,
             curvature=st_curvature, kappa_interface=st_kappa_interface,
-            hf_smooth=st_hf_smooth)
+            hf_smooth=st_hf_smooth, st_enabled=st_enabled)
     if g_x != 0.0 or g_y != 0.0:
         drho = rho_local - (rho_f if g_rho_ref is None else g_rho_ref)
         f_ext_x = f_ext_x + drho * g_x

@@ -27,6 +27,7 @@ velocity (pyRMT/functions.py:460-465); under jit nothing can segfault, so
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Sequence
 
 import jax
@@ -458,6 +459,9 @@ def check_periodic_seam_clearance(cfg: RMTConfig, phi_inits, dtype):
             )
 
 
+_TRACEABLE_PARAMS = ("mu_s", "kappa", "gamma", "rho_s", "rho_f")
+
+
 def make_step(
     cfg: RMTConfig,
     velocity_bc: Callable,
@@ -465,6 +469,7 @@ def make_step(
     dtype=jnp.float32,
     rmt_block_impl: Callable | None = None,
     momentum_rk4_impl: Callable | None = None,
+    traced_params: tuple[str, ...] | None = None,
 ):
     """Build the jitted FSI step for a fixed configuration.
 
@@ -477,7 +482,32 @@ def make_step(
     implementations of the same signatures — used by
     parallel.make_sharded_step to run the Pallas kernels per shard under
     shard_map. The caller is responsible for checking supportedness.
+
+    ``traced_params`` (round 5) names physics scalars the step takes as a
+    RUNTIME dict instead of baking cfg's floats: the returned function is
+    then ``step(state, t_end, params) -> (state, aux)`` with
+    ``params = {'mu_s': ...}``, differentiable w.r.t. every named scalar
+    (the fused RMT-block kernel accepts them as SMEM scalar operands, so
+    the FUSED forward is retained — see diff.make_diff_step). Allowed
+    names: ``mu_s, kappa, gamma, rho_s, rho_f`` (``mu_f``/``eta_s``/
+    ``k_rep`` stay compile-time: they gate kernel structure). STRUCTURAL
+    choices (is surface tension on, fused-path eligibility, dt caps'
+    branches) still follow ``cfg``'s values — a traced value must not
+    cross its cfg twin's enable thresholds (e.g. keep a traced gamma > 0
+    iff cfg.gamma > 0). With ``traced_params=None`` the build is
+    byte-for-byte the round-4 step.
     """
+    if traced_params is not None:
+        bad = set(traced_params) - set(_TRACEABLE_PARAMS)
+        if bad:
+            raise ValueError(
+                f"traced_params {sorted(bad)} not traceable; allowed: "
+                f"{_TRACEABLE_PARAMS}")
+        # NOTE: the shard_map rmt_block_impl (parallel.make_rmt_block_sharded)
+        # closes over the scalars and cannot take traced values — sharded
+        # gradients go through the GSPMD XLA step instead (tests/
+        # test_sharding.py). The plain interpret-mode impl the tests use
+        # (functools.partial(rmt_block_fused, interpret=True)) is fine.
     g = cfg.grid
     dx, dy = g.dx, g.dy
     S = len(phi_inits)
@@ -742,8 +772,7 @@ def make_step(
                 for i in range(S)
             ])
 
-    @jax.jit
-    def step(state: SimState, t_end):
+    def _step(state: SimState, t_end, pp):
         u, v, p = state.u, state.v, state.p
         X1s, X2s = state.X1, state.X2
 
@@ -751,9 +780,9 @@ def make_step(
             dt = jnp.asarray(cfg.fixed_dt, dtype)
         else:
             dt = compute_timestep(
-                u, v, dx, dy, cfg.CFL, cfg.dt_min_cap, cfg.mu_s, cfg.rho_s,
-                cfg.gamma, cfg.rho_f, mu_f=cfg.mu_f, eta_s=cfg.eta_s,
-                kappa=cfg.kappa,
+                u, v, dx, dy, cfg.CFL, cfg.dt_min_cap, pp.mu_s, pp.rho_s,
+                pp.gamma, pp.rho_f, mu_f=cfg.mu_f, eta_s=cfg.eta_s,
+                kappa=pp.kappa,
             )
         dt = jnp.minimum(dt, jnp.maximum(t_end - state.t, 0.0)).astype(dtype)
         # Once t reaches t_end the clipped dt is 0 and the projection's
@@ -816,15 +845,15 @@ def make_step(
                 if cfg.phi_area_fix:
                     phis = fix_areas(phis)
                 stress_fn = lambda x1, x2, ph: solid_cauchy_stress(
-                    x1, x2, dx, dy, cfg.mu_s, cfg.kappa, ph,
+                    x1, x2, dx, dy, pp.mu_s, pp.kappa, ph,
                     w_cut=stress_w_cut, detg_clamp=stress_clamp)
                 sxx_s, sxy_s, syy_s, J_s = jax.vmap(stress_fn)(
                     X1e, X2e, phis)
                 H_bl = smoothed_heaviside(phis, cfg.w_t)
                 one_mH = 1.0 - H_bl
                 Hf = jnp.sum(H_bl, axis=0) - (S - 1.0)
-                rho_local = (Hf * cfg.rho_f
-                             + jnp.sum(one_mH, axis=0) * cfg.rho_s)
+                rho_local = (Hf * pp.rho_f
+                             + jnp.sum(one_mH, axis=0) * pp.rho_s)
                 sb_xx = jnp.sum(one_mH * sxx_s, axis=0)
                 sb_xy = jnp.sum(one_mH * sxy_s, axis=0)
                 sb_yy = jnp.sum(one_mH * syy_s, axis=0)
@@ -838,8 +867,8 @@ def make_step(
                  sb_xx, sb_xy, sb_yy) = rmt_fn(
                     u, v, X1s, X2s, dt, phi_inits=tuple(phi_inits),
                     dx=dx, dy=dy,
-                    num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=cfg.mu_s,
-                    kappa=cfg.kappa, rho_s=cfg.rho_s, rho_f=cfg.rho_f,
+                    num_layers=cfg.num_layers, w_t=cfg.w_t, mu_s=pp.mu_s,
+                    kappa=pp.kappa, rho_s=pp.rho_s, rho_f=pp.rho_f,
                     stress_w_cut=stress_w_cut, stress_clamp=stress_clamp,
                     sl_interp=cfg.sl_interp, sl_guard=sl_guard,
                 )
@@ -853,7 +882,7 @@ def make_step(
                 H_s = smoothed_heaviside(phis, cfg.w_t)
                 if st_balanced:
                     fxc, fyc, Fxf, Fyf = balanced_csf_forces(
-                        phis, H_s, dx, dy, cfg.gamma,
+                        phis, H_s, dx, dy, pp.gamma,
                         kappa_interface=cfg.st_kappa_interface,
                         curvature=cfg.st_curvature, w_t=cfg.w_t,
                         hf_smooth=cfg.st_hf_smooth)
@@ -865,16 +894,20 @@ def make_step(
                     st_faces = (Fxf, Fyf, fxc, fyc)
                 else:
                     f_ext_x, f_ext_y = external_forces(
-                        phis, H_s, dx, dy, gamma=cfg.gamma, k_rep=cfg.k_rep,
+                        phis, H_s, dx, dy, gamma=pp.gamma, k_rep=cfg.k_rep,
                         w_c=cfg.w_c, w_t=cfg.w_t,
                         curvature=cfg.st_curvature,
                         kappa_interface=cfg.st_kappa_interface,
-                        hf_smooth=cfg.st_hf_smooth)
+                        hf_smooth=cfg.st_hf_smooth,
+                        st_enabled=cfg.gamma > 1e-12)
             else:
                 f_ext_x = jnp.zeros(g.shape, dtype)
                 f_ext_y = f_ext_x
             if has_gravity:
-                drho = rho_local - g_rho_ref
+                # pp.rho_f (== cfg.rho_f unless traced) so d/d(rho_f)
+                # includes the buoyancy reference when g_rho_ref is None
+                drho = rho_local - (
+                    pp.rho_f if cfg.g_rho_ref is None else g_rho_ref)
                 f_ext_x = f_ext_x + drho * cfg.g_x
                 f_ext_y = f_ext_y + drho * cfg.g_y
             if cfg.eta_s > 0.0:
@@ -1039,7 +1072,7 @@ def make_step(
 
             H_st = smoothed_heaviside(phis, cfg.w_t)
             fxc, fyc, Fxf, Fyf = balanced_csf_forces(
-                phis, H_st, dx, dy, cfg.gamma,
+                phis, H_st, dx, dy, pp.gamma,
                 kappa_interface=cfg.st_kappa_interface,
                 curvature=cfg.st_curvature, w_t=cfg.w_t,
                 hf_smooth=cfg.st_hf_smooth)
@@ -1050,11 +1083,13 @@ def make_step(
             st_faces = (Fxf, Fyf, fxc, fyc)
         u_star, v_star, sxx_s, sxy_s, syy_s, J_s = momentum_step_rk4_multi(
             u, v, p, X1s, X2s, phis, velocity_bc,
-            mu_s=cfg.mu_s, kappa=cfg.kappa, eta_s=cfg.eta_s, dx=dx, dy=dy,
-            dt=dt, rho_s=cfg.rho_s, rho_f=cfg.rho_f, mu_f=cfg.mu_f,
-            w_t=cfg.w_t, gamma=cfg.gamma, stress_w_cut=stress_w_cut,
+            mu_s=pp.mu_s, kappa=pp.kappa, eta_s=cfg.eta_s, dx=dx, dy=dy,
+            dt=dt, rho_s=pp.rho_s, rho_f=pp.rho_f, mu_f=cfg.mu_f,
+            w_t=cfg.w_t, gamma=pp.gamma, stress_w_cut=stress_w_cut,
+            st_enabled=cfg.gamma > 1e-12,
             stress_clamp=stress_clamp, k_rep=cfg.k_rep, w_c=cfg.w_c,
-            g_x=cfg.g_x, g_y=cfg.g_y, g_rho_ref=g_rho_ref,
+            g_x=cfg.g_x, g_y=cfg.g_y,
+            g_rho_ref=(pp.rho_f if cfg.g_rho_ref is None else g_rho_ref),
             ext_override=ext_override,
             st_curvature=cfg.st_curvature,
             st_kappa_interface=cfg.st_kappa_interface,
@@ -1079,9 +1114,9 @@ def make_step(
         if S > 0:
             H_s = smoothed_heaviside(phis, cfg.w_t)
             Hf = jnp.sum(H_s, axis=0) - (S - 1.0)
-            rho_local = Hf * cfg.rho_f + jnp.sum(1.0 - H_s, axis=0) * cfg.rho_s
+            rho_local = Hf * pp.rho_f + jnp.sum(1.0 - H_s, axis=0) * pp.rho_s
         else:
-            rho_local = jnp.full(g.shape, cfg.rho_f, dtype)
+            rho_local = jnp.full(g.shape, pp.rho_f, dtype)
 
         proj_out = pressure_projection(
             u_star, v_star, dx, dy, dt, rho_local, velocity_bc,
@@ -1116,6 +1151,27 @@ def make_step(
         if rebasing:
             aux["rebased"] = rebase_flags
         return new_state, aux
+
+    from types import SimpleNamespace
+
+    base_params = {k: getattr(cfg, k) for k in _TRACEABLE_PARAMS}
+    if traced_params is None:
+        # cfg's own Python floats -> the trace (and therefore the compiled
+        # executable) is byte-for-byte the pre-traced_params build
+        pp0 = SimpleNamespace(**base_params)
+
+        @jax.jit
+        def step(state: SimState, t_end):
+            return _step(state, t_end, pp0)
+    else:
+        names = tuple(traced_params)
+
+        @jax.jit
+        def step(state: SimState, t_end, params):
+            merged = dict(base_params)
+            for k in names:
+                merged[k] = params[k]
+            return _step(state, t_end, SimpleNamespace(**merged))
 
     return step
 
@@ -1194,14 +1250,21 @@ def run_until(step_fn, state: SimState, t_end, max_steps=10**8, callback=None):
     return state, False
 
 
-def make_run_chunk(step_fn, n_steps: int):
+def make_run_chunk(step_fn, n_steps: int, donate: bool = False):
     """Compile ``n_steps`` adaptive-dt steps into ONE XLA program via
     lax.scan — zero host round-trips (the benchmarking / production path).
     Returns ``(state, t_final)``: the per-step time history is NOT stacked
     (the dynamic-update-slice per step cost ~1.5% of the N=1024 step in
-    the round-4 profiler trace, and no caller consumed it)."""
+    the round-4 profiler trace, and no caller consumed it).
 
-    @jax.jit
+    ``donate=True`` donates the INPUT state's buffers to the output
+    (jit donate_argnums), dropping one full SimState from the peak live
+    footprint — what fits the N=8192 single-chip bench inside the 15.75 GB
+    HBM (round 5; docs/PERFORMANCE.md). The caller must then CHAIN states
+    (``state = chunk(state, t)[0]``) — the passed-in state's arrays are
+    deleted."""
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run_chunk(state: SimState, t_end):
         def body(s, _):
             s2, _aux = step_fn(s, t_end)
@@ -1234,12 +1297,18 @@ def make_rollout(step_fn, n_steps: int, remat: bool = True):
     rule) is wrapped in an implicit-adjoint ``jax.custom_vjp`` that solves
     the self-adjoint system once on the backward pass
     (ops/poisson.solve_variable_poisson_cg_counted, tests/test_diff.py).
-    To differentiate w.r.t. a *physics* scalar
-    (mu_s, kappa, gamma, ...), rebuild the step inside the differentiated
-    function with ``dataclasses.replace(cfg, mu_s=theta)`` — every such
-    scalar enters the traced graph multiplicatively, so a traced value works
-    wherever a Python float does (demonstrated end-to-end in
-    examples/differentiable_fsi.py: full inverse-stiffness recovery).
+    To differentiate w.r.t. a *physics* scalar (mu_s, kappa, gamma,
+    rho_s, rho_f), build the step with ``make_step(traced_params=(...))``
+    (round 5): the scalars become a runtime dict argument, ONE compiled
+    program serves every parameter value (no per-value retrace), the
+    adaptive-timestep dependence differentiates too, and the traced
+    scalars reach the fused Pallas kernels as SMEM operands
+    (demonstrated end-to-end in examples/differentiable_fsi.py:
+    inverse-stiffness recovery at fused forward speed via
+    diff.make_diff_step(param_names=...)). The older pattern — rebuilding
+    inside the differentiated function with
+    ``dataclasses.replace(cfg, mu_s=theta)`` — still works on the XLA
+    paths with ``fixed_dt`` (tests/test_diff.py) but retraces per value.
 
     The upstream NumPy/Numba stack has no gradient story at all; this is
     what the JAX-native architecture buys beyond speed.

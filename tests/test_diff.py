@@ -335,3 +335,198 @@ def test_grad_through_variable_rho_rollout():
 
     g_d = float(jax.grad(dloss)(1.0))
     assert abs(g_d - g) <= 1e-9 * max(1.0, abs(g)), (g_d, g)
+
+
+# ---------------------------------------------------------------------------
+# Traced physics-scalar params (round 5): make_step(traced_params=...) /
+# make_diff_step(param_names=...) take mu_s/kappa/gamma/rho_s/rho_f as a
+# RUNTIME dict — one compiled program across parameter values, with the
+# traced scalars reaching the fused RMT-block kernel as SMEM operands
+# (kernels/rmt_block.py), so the inverse-problem gradient keeps the fused
+# forward (VERDICT r4 #5).
+# ---------------------------------------------------------------------------
+
+
+def _cfg_params():
+    return {k: jnp.asarray(v, jnp.float64) for k, v in
+            dict(mu_s=0.3, kappa=0.0, gamma=0.0, rho_s=1.0, rho_f=1.0
+                 ).items()}
+
+
+def test_traced_params_step_matches_default_build():
+    """With params == cfg's own values the traced-params step reproduces
+    the default build to roundoff (the math is identical; only constant
+    folding differs), on the ADAPTIVE-dt path so compute_timestep's
+    traced-scalar branch is covered too."""
+    cfg = base_cfg(fixed_dt=None, CFL=0.3, dt_min_cap=2e-3)
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+    step0 = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64)
+    stepP = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64,
+                      traced_params=tuple(_cfg_params()))
+    s0, s1 = state0, state0
+    for _ in range(3):
+        s0, _a = step0(s0, T_END)
+        s1, _a = stepP(s1, T_END, _cfg_params())
+    np.testing.assert_allclose(np.asarray(s0.u), np.asarray(s1.u),
+                               atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s0.t), np.asarray(s1.t),
+                               atol=1e-15)
+    np.testing.assert_allclose(np.asarray(s0.X1), np.asarray(s1.X1),
+                               atol=1e-14)
+
+    with pytest.raises(ValueError, match="not traceable"):
+        make_step(cfg, bc, (phi_disc,), dtype=jnp.float64,
+                  traced_params=("eta_s",))
+
+
+def test_grad_mu_s_via_traced_params_adaptive_dt():
+    """d(loss)/d(mu_s) through the traced-params rollout — ONE compiled
+    program evaluated at every FD point (no per-value retrace, unlike the
+    dataclasses.replace pattern) — matches central differences INCLUDING
+    the d(dt)/d(mu_s) term from the adaptive solid-CFL constraint."""
+    cfg = base_cfg(fixed_dt=None, CFL=0.3, dt_min_cap=2e-3)
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+    stepP = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64,
+                      traced_params=("mu_s",))
+
+    @jax.jit
+    def loss(mu):
+        s = state0
+        def body(s, _):
+            s2, _a = stepP(s, T_END, {"mu_s": mu})
+            return s2, None
+        s, _ = jax.lax.scan(body, s, None, length=N_STEPS)
+        return final_energy(s)
+
+    mu = 0.3
+    g = float(jax.grad(loss)(jnp.asarray(mu, jnp.float64)))
+    h = 1e-5
+    fd = (float(loss(jnp.asarray(mu + h, jnp.float64)))
+          - float(loss(jnp.asarray(mu - h, jnp.float64)))) / (2 * h)
+    assert np.isfinite(g) and abs(fd) > 0.0
+    assert abs(g - fd) <= 1e-5 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_diff_step_param_names_fused_forward_mu_s_grad():
+    """The VERDICT-r4 #5 combination: make_diff_step(param_names=('mu_s',))
+    with the Pallas kernels in interpret mode — the fused forward consumes
+    the TRACED mu_s through its SMEM scalar operand, forward values equal
+    the fused step's, and the mu_s gradient equals the all-XLA
+    traced-params gradient and finite differences."""
+    n_steps = 4
+    fused_cfg = base_cfg(rmt_method="pallas", momentum_method="pallas")
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(fused_cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+
+    dstep = make_diff_step(fused_cfg, bc, (phi_disc,), dtype=jnp.float64,
+                           param_names=("mu_s",), **_interpret_impls())
+    fused_step = make_step(fused_cfg, bc, (phi_disc,), dtype=jnp.float64,
+                           traced_params=("mu_s",), **_interpret_impls())
+
+    params = {"mu_s": jnp.asarray(0.3, jnp.float64)}
+    out_d = dstep(state0, T_END, params)
+    out_f, _ = fused_step(state0, T_END, params)
+    for name in ("u", "v", "p", "X1", "X2", "t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_d, name)),
+            np.asarray(getattr(out_f, name)), err_msg=name)
+
+    droll = make_diff_rollout(dstep, n_steps, with_params=True)
+
+    def diff_loss(mu):
+        return final_energy(droll(state0, T_END, {"mu_s": mu}))
+
+    xla_step = make_step(base_cfg(), bc, (phi_disc,), dtype=jnp.float64,
+                         traced_params=("mu_s",))
+
+    @jax.jit
+    def xla_loss(mu):
+        def body(s, _):
+            s2, _a = xla_step(s, T_END, {"mu_s": mu})
+            return s2, None
+        s, _ = jax.lax.scan(body, state0, None, length=n_steps)
+        return final_energy(s)
+
+    mu = jnp.asarray(0.3, jnp.float64)
+    g_diff = float(jax.grad(diff_loss)(mu))
+    g_xla = float(jax.grad(xla_loss)(mu))
+    assert abs(g_diff - g_xla) <= 1e-8 * max(1.0, abs(g_xla)), (g_diff, g_xla)
+
+    loss_j = jax.jit(diff_loss)
+    h = 1e-5
+    fd = (float(loss_j(mu + h)) - float(loss_j(mu - h))) / (2 * h)
+    assert abs(g_diff - fd) <= 1e-5 * max(1.0, abs(fd)), (g_diff, fd)
+
+
+def test_grad_gamma_via_traced_params():
+    """d(loss)/d(gamma) on a surface-tension config via traced params
+    (st_enabled decoupled from gamma's VALUE; the Brackbill capillary dt
+    constraint differentiates through compute_timestep's traced branch)."""
+    cfg = base_cfg(gamma=0.05, fixed_dt=None, CFL=0.3, dt_min_cap=2e-3,
+                   st_kappa_interface=True)
+    bc = free_slip_box_bc
+    u0, v0 = tg_velocity(0.3)
+    state0 = make_init_state(cfg, (phi_disc,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+    stepP = make_step(cfg, bc, (phi_disc,), dtype=jnp.float64,
+                      traced_params=("gamma",))
+
+    @jax.jit
+    def loss(gam):
+        def body(s, _):
+            s2, _a = stepP(s, T_END, {"gamma": gam})
+            return s2, None
+        s, _ = jax.lax.scan(body, state0, None, length=N_STEPS)
+        return final_energy(s)
+
+    gam = jnp.asarray(0.05, jnp.float64)
+    g = float(jax.grad(loss)(gam))
+    h = 1e-6
+    fd = (float(loss(gam + h)) - float(loss(gam - h))) / (2 * h)
+    assert np.isfinite(g) and abs(fd) > 0.0
+    assert abs(g - fd) <= 1e-5 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_grad_contact_adaptive_dt_finite_and_matches_fd():
+    """Round 5 AD-safety regression: a 2-solid CONTACT config under the
+    ADAPTIVE timestep. Two 0*inf NaN sources used to poison every such
+    gradient: sqrt'(0) at the flat mid-surface normal in
+    ops/contact.compute_contact_force, and sqrt'(0) at exact-zero velocity
+    cells inside compute_timestep's max|u| (both now double-where guarded,
+    forward bitwise-unchanged). Pins finiteness AND the FD match."""
+    two = base_cfg(fixed_dt=None, CFL=0.2, dt_min_cap=1e-3, k_rep=2.0,
+                   mu_s=1.0)
+    bc = free_slip_box_bc
+
+    def phi_a(X1, X2):
+        return jnp.sqrt((X1 - 0.35) ** 2 + (X2 - 0.5) ** 2) - 0.15
+
+    def phi_b(X1, X2):
+        return jnp.sqrt((X1 - 0.65) ** 2 + (X2 - 0.5) ** 2) - 0.15
+
+    u0, v0 = tg_velocity(0.5)
+    state0 = make_init_state(two, (phi_a, phi_b), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+    step = make_step(two, bc, (phi_a, phi_b), dtype=jnp.float64)
+
+    @jax.jit
+    def loss(amp):
+        s = dataclasses.replace(state0, u=state0.u * amp, v=state0.v * amp)
+        for _ in range(2):
+            s, _a = step(s, T_END)
+        return final_energy(s)
+
+    g = float(jax.grad(loss)(jnp.asarray(1.0, jnp.float64)))
+    assert np.isfinite(g), g
+    h = 1e-6
+    fd = (float(loss(jnp.asarray(1.0 + h, jnp.float64)))
+          - float(loss(jnp.asarray(1.0 - h, jnp.float64)))) / (2 * h)
+    assert abs(g - fd) <= 1e-5 * max(1.0, abs(fd)), (g, fd)

@@ -848,3 +848,53 @@ def test_periodic_solid_fused_step_matches_xla():
     finally:
         rb.rmt_block_fused = orig_rb
         mk.momentum_rk4_pallas = orig_mk
+
+
+def test_rmt_block_fused_traced_scalars_bitwise():
+    """Round 5: mu_s/kappa/rho_s/rho_f are SMEM scalar OPERANDS of the
+    fused RMT block (kernels/rmt_block.py _make_kernel docstring), not
+    baked constants. Passing them as traced jnp scalars must reproduce the
+    float-arg call BITWISE (same kernel, same values through the same SMEM
+    slots), and evaluating the SAME compiled program at a different mu_s
+    must equal a float-arg call at that mu_s."""
+    import jax
+
+    from pyrmt_tpu.grid import Grid
+    from pyrmt_tpu.kernels.rmt_block import rmt_block_fused
+    from pyrmt_tpu.sim import RMTConfig, make_init_state
+
+    g = Grid(Nx=64, Ny=64, Lx=1.0, Ly=1.0)
+    phi_init = lambda X, Y: jnp.sqrt((X - 0.6) ** 2 + (Y - 0.5) ** 2) - 0.2
+    cfg = RMTConfig(grid=g, mu_s=0.1, kappa=0.5, rho_s=1.2, mu_f=0.01,
+                    rho_f=1.0, num_layers=3)
+    state = make_init_state(cfg, (phi_init,), dtype=jnp.float64)
+    X, Y = g.coords(dtype=jnp.float64)
+    u = 0.3 * jnp.sin(2 * jnp.pi * X) * jnp.cos(2 * jnp.pi * Y)
+    v = -0.3 * jnp.cos(2 * jnp.pi * X) * jnp.sin(2 * jnp.pi * Y)
+    dt = 1e-3
+
+    kw = dict(phi_inits=(phi_init,), dx=g.dx, dy=g.dy, num_layers=3,
+              w_t=cfg.w_t, interpret=True)
+
+    @jax.jit
+    def call_traced(mu_s, kappa, rho_s, rho_f):
+        return rmt_block_fused(u, v, state.X1, state.X2, dt,
+                               mu_s=mu_s, kappa=kappa, rho_s=rho_s,
+                               rho_f=rho_f, **kw)
+
+    out_float = rmt_block_fused(u, v, state.X1, state.X2, dt,
+                                mu_s=0.1, kappa=0.5, rho_s=1.2, rho_f=1.0,
+                                **kw)
+    args64 = [jnp.asarray(x, jnp.float64) for x in (0.1, 0.5, 1.2, 1.0)]
+    out_traced = call_traced(*args64)
+    for a, b in zip(out_float, out_traced):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same compiled program, different parameter values
+    out_float2 = rmt_block_fused(u, v, state.X1, state.X2, dt,
+                                 mu_s=0.7, kappa=0.5, rho_s=1.2, rho_f=1.0,
+                                 **kw)
+    args64[0] = jnp.asarray(0.7, jnp.float64)
+    out_traced2 = call_traced(*args64)
+    for a, b in zip(out_float2, out_traced2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
