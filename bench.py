@@ -76,7 +76,18 @@ def main(N=1024, n_steps=2000, use_pallas=False, no_slab=False,
     state = make_init_state(cfg, phi_inits, u0=u0, v0=v0, dtype=jnp.float32)
     t_end = jnp.asarray(1e9, jnp.float32)
 
-    chunk = make_run_chunk(step, n_steps, donate=donate)
+    if rebase:
+        # TPU production path for rebasing: two-executable chunked runner
+        # ('analytic' rebuild until a rebase fires, then 'sampled') — the
+        # in-graph 'cond' rebuild pays its gather branch per scan step on
+        # the TPU toolchain (sim.make_rebase_runner docstring;
+        # docs/PERFORMANCE.md round-5 rebasing note)
+        from pyrmt_tpu.sim import make_rebase_runner
+
+        chunk = make_rebase_runner(cfg, bc, phi_inits, n_steps,
+                                   dtype=jnp.float32, donate=donate)
+    else:
+        chunk = make_run_chunk(step, n_steps, donate=donate)
 
     # warmup / compile
     state_w, _ = chunk(state, t_end)

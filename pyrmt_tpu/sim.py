@@ -171,6 +171,31 @@ class RMTConfig:
                                     # distortion that otherwise folds the
                                     # map under sustained large deformation
                                     # (benchmarks/README.md capillary row)
+    map_rebase_rebuild: str = "cond"  # HOW the rebasing rebuild picks its
+                                    # source (round 5, TPU production knob):
+                                    # 'cond' (default) = the in-graph
+                                    # per-solid lax.cond on phis0 != seed —
+                                    # correct in every phase, but on the
+                                    # TPU toolchain the cond's bilinear-
+                                    # gather branch is paid per step even
+                                    # untriggered inside lax.scan (measured
+                                    # ~150 ms/step at N=1024 vs 0.84 ms;
+                                    # docs/PERFORMANCE.md round-5 rebasing
+                                    # note) — fine at the validated N<=256
+                                    # scales; 'analytic' = always the
+                                    # analytic phi_init rebuild (EXACT
+                                    # until the first rebase event fires —
+                                    # triggers/rebasing still run and
+                                    # update phis0; the driver must switch
+                                    # to 'sampled' once aux['rebased']
+                                    # fires, see make_rebase_chunk_runner);
+                                    # 'sampled' = always bilinear phis0
+                                    # sampling (the post-rebase executable;
+                                    # identical to 'cond' once every solid
+                                    # has rebased, and to within bilinear
+                                    # sampling error of the analytic
+                                    # rebuild before — do not use it
+                                    # pre-trigger when exactness matters)
     phi_area_fix: bool = False      # per-solid constant-shift level-set
                                     # mass fix after the rebuild(+reinit):
                                     # phi_i += c_i with c_i solved (2 Newton
@@ -690,29 +715,43 @@ def make_step(
         # them is the per-step "has this solid rebased yet?" predicate.
         seeds = tuple(jnp.asarray(pi(X, Y), dtype) for pi in phi_inits)
 
+        if cfg.map_rebase_rebuild not in ("cond", "analytic", "sampled"):
+            raise ValueError(
+                f"unknown map_rebase_rebuild {cfg.map_rebase_rebuild!r}")
+        rebuild_mode = cfg.map_rebase_rebuild
+
         def rebuild_phis(X1s, X2s, phis0):
             # phi_i(x) = phi0_i(xi_i(x)): sample the CURRENT base level set
             # at the map. The generalization of the reference's analytic
             # rebuild (pyRMT/functions.py:1287-1288) to a non-analytic
             # phi0. UNTIL a solid's first rebase event phis0_i is still the
-            # analytic seed, so the ANALYTIC rebuild is used instead (exact
-            # — bitwise-identical to rebasing-off, and gather-free, which
-            # keeps untriggered runs at fused-path speed); the bilinear
-            # sampling of the redistanced phis0 only starts once a rebase
-            # has actually rewritten it (round-5 change: round 4 sampled
-            # the seed bilinearly from step 0, which was both slower — a
-            # TPU gather per rebuild — and strictly less accurate).
+            # analytic seed, so mode 'cond' uses the ANALYTIC rebuild then
+            # (exact — bitwise-identical to rebasing-off) and switches to
+            # bilinear phis0 sampling per solid once a rebase has rewritten
+            # it. Modes 'analytic'/'sampled' pin one source uncondition-
+            # ally: the TPU production pattern (the in-scan cond's gather
+            # branch is paid per step on the TPU toolchain even untriggered
+            # — see RMTConfig.map_rebase_rebuild and the round-5 rebasing
+            # note in docs/PERFORMANCE.md); the runner switches executables
+            # at chunk granularity when aux['rebased'] fires.
             outs = []
             for i in range(S):
-                sampled = jnp.any(phis0[i] != seeds[i])
-                outs.append(jax.lax.cond(
-                    sampled,
-                    lambda p0, x1, x2: bilinear_interpolate(
-                        p0, x1, x2, dx, dy),
-                    lambda p0, x1, x2, i=i: jnp.asarray(
-                        phi_inits[i](x1, x2), p0.dtype),
-                    phis0[i], X1s[i], X2s[i],
-                ))
+                if rebuild_mode == "analytic":
+                    outs.append(jnp.asarray(
+                        phi_inits[i](X1s[i], X2s[i]), dtype))
+                elif rebuild_mode == "sampled":
+                    outs.append(bilinear_interpolate(
+                        phis0[i], X1s[i], X2s[i], dx, dy))
+                else:
+                    sampled = jnp.any(phis0[i] != seeds[i])
+                    outs.append(jax.lax.cond(
+                        sampled,
+                        lambda p0, x1, x2: bilinear_interpolate(
+                            p0, x1, x2, dx, dy),
+                        lambda p0, x1, x2, i=i: jnp.asarray(
+                            phi_inits[i](x1, x2), p0.dtype),
+                        phis0[i], X1s[i], X2s[i],
+                    ))
             return jnp.stack(outs)
 
         def maybe_rebase(X1s, X2s, phis, J_s, phis0, active):
@@ -1274,6 +1313,64 @@ def make_run_chunk(step_fn, n_steps: int, donate: bool = False):
         return out, out.t
 
     return run_chunk
+
+
+def make_rebase_runner(cfg, velocity_bc, phi_inits, n_steps: int,
+                       dtype=jnp.float32, donate: bool = False):
+    """Chunked runner for map-rebasing configs — the TPU PRODUCTION path.
+
+    Builds TWO executables of the same physics differing only in
+    ``map_rebase_rebuild``: the 'analytic' pre-rebase step (gather-free —
+    full split-fused-tier speed) and the 'sampled' post-rebase step
+    (bilinear phis0 sampling every rebuild). Runs ``n_steps``-step scanned
+    chunks on the pre executable and switches PERMANENTLY to the post one
+    as soon as any solid's phis0 differs from its analytic seed (one
+    cheap device reduction per chunk boundary).
+
+    Why not the in-graph 'cond' rebuild everywhere: on the TPU toolchain
+    the cond's bilinear-gather branch is paid per scan step even when the
+    predicate is false (measured ~150 ms/step at N=1024 vs 0.84 ms for
+    the same physics without the gather; docs/PERFORMANCE.md round-5
+    rebasing note), so the exact in-graph dispatch that is free on CPU is
+    ~180x on TPU. The chunk-level switch trades that for ONE semantic
+    concession: steps between an in-chunk rebase event and the end of
+    that chunk still rebuild from the analytic seed of the PRE-rebase
+    shape. Keep rebasing chunks modest (100-500 steps) so the lag is
+    bounded; use ``map_rebase_rebuild='cond'`` (default make_step) when
+    step-exact switching matters more than TPU throughput.
+
+    Returns ``run(state, t_end) -> (state, t)`` — same contract as
+    :func:`make_run_chunk`.
+    """
+    if not (cfg.map_rebase_minj > 0.0 and len(phi_inits) > 0):
+        raise ValueError("make_rebase_runner requires map_rebase_minj > 0 "
+                         "and at least one solid")
+    pre_step = make_step(
+        dataclasses.replace(cfg, map_rebase_rebuild="analytic"),
+        velocity_bc, phi_inits, dtype=dtype)
+    post_step = make_step(
+        dataclasses.replace(cfg, map_rebase_rebuild="sampled"),
+        velocity_bc, phi_inits, dtype=dtype)
+    pre_chunk = make_run_chunk(pre_step, n_steps, donate=donate)
+    post_chunk = make_run_chunk(post_step, n_steps, donate=donate)
+
+    g = cfg.grid
+    X, Y = g.coords(dtype=dtype)
+    seeds = jnp.stack([jnp.asarray(pi(X, Y), dtype) for pi in phi_inits])
+
+    @jax.jit
+    def _any_rebased(phis0):
+        return jnp.any(phis0 != seeds)
+
+    state_fired = {"fired": False}
+
+    def run(state: SimState, t_end):
+        if not state_fired["fired"] and bool(_any_rebased(state.phis0)):
+            state_fired["fired"] = True
+        chunk = post_chunk if state_fired["fired"] else pre_chunk
+        return chunk(state, t_end)
+
+    return run
 
 
 def make_rollout(step_fn, n_steps: int, remat: bool = True):

@@ -193,3 +193,88 @@ def test_sharded_rebasing_matches_single_device():
     assert np.allclose(np.asarray(out.X1), np.asarray(ref.X1), atol=1e-8)
     assert np.allclose(np.asarray(out.phis0), np.asarray(ref.phis0),
                        atol=1e-8)
+
+
+def test_rebuild_modes_match_cond_dispatch():
+    """Round 5: the explicit rebuild modes ('analytic'/'sampled',
+    RMTConfig.map_rebase_rebuild — the TPU production knob, see
+    make_rebase_runner) are each BITWISE the in-graph 'cond' dispatch in
+    their own phase: 'analytic' while no rebase has fired, 'sampled' once
+    every solid has rebased."""
+    g = Grid(Nx=48, Ny=48, Lx=1.0, Ly=1.0)
+    cfg = RMTConfig(grid=g, mu_s=0.05, mu_f=0.01, rho_s=1.0, rho_f=1.0,
+                    CFL=0.3, map_rebase_minj=0.5)
+    phi_init = _disc_phi(0.5, 0.5, 0.22)
+    u0, v0 = _tg_velocity(g, jnp.float64)
+    t_end = jnp.asarray(10.0)
+
+    def steps(cfg_m, state, n):
+        step = make_step(cfg_m, free_slip_box_bc, (phi_init,),
+                         dtype=jnp.float64)
+        for _ in range(n):
+            state, aux = step(state, t_end)
+        return state, aux
+
+    # pre-rebase phase: 'analytic' == 'cond' bitwise (trigger never fires)
+    s0 = make_init_state(cfg, (phi_init,), u0=u0, v0=v0, dtype=jnp.float64)
+    sc, auxc = steps(cfg, s0, 3)
+    sa, auxa = steps(dataclasses.replace(cfg, map_rebase_rebuild="analytic"),
+                     s0, 3)
+    assert not bool(jnp.any(auxc["rebased"]))
+    for name in ("u", "v", "p", "X1", "X2", "phis0"):
+        np.testing.assert_array_equal(np.asarray(getattr(sc, name)),
+                                      np.asarray(getattr(sa, name)),
+                                      err_msg=f"analytic {name}")
+
+    # force a rebase (always-fire threshold, one step), then the post
+    # phase: 'sampled' == 'cond' bitwise
+    fire = dataclasses.replace(cfg, map_rebase_minj=10.0)
+    s1, aux1 = steps(fire, s0, 1)
+    assert bool(jnp.all(aux1["rebased"]))
+    sc2, _ = steps(cfg, s1, 3)
+    ss2, _ = steps(dataclasses.replace(cfg, map_rebase_rebuild="sampled"),
+                   s1, 3)
+    for name in ("u", "v", "p", "X1", "X2", "phis0"):
+        np.testing.assert_array_equal(np.asarray(getattr(sc2, name)),
+                                      np.asarray(getattr(ss2, name)),
+                                      err_msg=f"sampled {name}")
+
+    with pytest.raises(ValueError, match="map_rebase_rebuild"):
+        steps(dataclasses.replace(cfg, map_rebase_rebuild="bogus"), s0, 1)
+
+
+def test_rebase_runner_matches_cond_path_at_step_chunks():
+    """make_rebase_runner with 1-step chunks matches the in-graph 'cond'
+    path across a firing trigger to roundoff (different executables, so
+    fusion order may differ by 1 ulp): the rebuild-source switch happens at
+    the same step boundary the cond would take it (the rebase lands AFTER
+    the firing step's physics, so the pre executable covers that step
+    exactly and the post executable takes over from the next)."""
+    from pyrmt_tpu.sim import make_rebase_runner
+
+    g = Grid(Nx=48, Ny=48, Lx=1.0, Ly=1.0)
+    # always-fire threshold => the first step rebases; steps 2.. sample
+    cfg = RMTConfig(grid=g, mu_s=0.05, mu_f=0.01, rho_s=1.0, rho_f=1.0,
+                    CFL=0.3, map_rebase_minj=10.0)
+    phi_init = _disc_phi(0.5, 0.5, 0.22)
+    u0, v0 = _tg_velocity(g, jnp.float64)
+    t_end = jnp.asarray(10.0)
+
+    s_cond = make_init_state(cfg, (phi_init,), u0=u0, v0=v0,
+                             dtype=jnp.float64)
+    s_run = s_cond
+    step = make_step(cfg, free_slip_box_bc, (phi_init,), dtype=jnp.float64)
+    run = make_rebase_runner(cfg, free_slip_box_bc, (phi_init,), 1,
+                             dtype=jnp.float64)
+    for k in range(4):
+        s_cond, _ = step(s_cond, t_end)
+        s_run, _ = run(s_run, t_end)
+    for name in ("u", "v", "p", "X1", "X2", "phis0", "t"):
+        np.testing.assert_allclose(np.asarray(getattr(s_cond, name)),
+                                   np.asarray(getattr(s_run, name)),
+                                   rtol=0, atol=1e-13, err_msg=name)
+
+    with pytest.raises(ValueError, match="map_rebase_minj"):
+        make_rebase_runner(dataclasses.replace(cfg, map_rebase_minj=0.0),
+                           free_slip_box_bc, (phi_init,), 1,
+                           dtype=jnp.float64)
