@@ -762,6 +762,15 @@ def make_step(
             # the identity map over the narrow band. lax.cond pays the
             # redistance+extrapolation only on triggering steps. J == 1 at
             # the identity, so a rebase cannot re-trigger immediately.
+            # Mode 'analytic' (the runner's PRE-rebase executable) carries
+            # phis0 untouched and never triggers in-graph: a fired rebase
+            # would make the unconditional analytic rebuild WRONG (the
+            # original shape at the original position), so triggering is
+            # the runner's job there (make_rebase_runner: min-J check +
+            # host-initiated rebase at chunk boundaries).
+            if rebuild_mode == "analytic":
+                return (X1s, X2s, phis0,
+                        jnp.zeros((S,), bool))
             big = jnp.asarray(jnp.inf, J_s.dtype)
             X1_out, X2_out, p0_out, flags = [], [], [], []
             for i in range(S):
@@ -1320,29 +1329,35 @@ def make_rebase_runner(cfg, velocity_bc, phi_inits, n_steps: int,
     """Chunked runner for map-rebasing configs — the TPU PRODUCTION path.
 
     Builds TWO executables of the same physics differing only in
-    ``map_rebase_rebuild``: the 'analytic' pre-rebase step (gather-free —
-    full split-fused-tier speed) and the 'sampled' post-rebase step
-    (bilinear phis0 sampling every rebuild). Runs ``n_steps``-step scanned
-    chunks on the pre executable and switches PERMANENTLY to the post one
-    as soon as any solid's phis0 differs from its analytic seed (one
-    cheap device reduction per chunk boundary).
+    ``map_rebase_rebuild``: the 'analytic' PRE-rebase step (gather-free —
+    full split-fused-tier speed; NO in-graph triggering) and the 'sampled'
+    POST-rebase step (bilinear phis0 sampling every rebuild, in-graph
+    maybe_rebase for subsequent triggers — consistent there because the
+    sampled rebuild follows phis0). In the pre phase the RUNNER owns the
+    trigger: after each scanned chunk it recomputes per-solid min J (one
+    small jitted reduction), and on a firing threshold performs the rebase
+    itself (FSM redistance + identity re-extrapolation, the exact
+    maybe_rebase recipe replayed once at the chunk boundary) and switches
+    executables permanently.
 
     Why not the in-graph 'cond' rebuild everywhere: on the TPU toolchain
     the cond's bilinear-gather branch is paid per scan step even when the
     predicate is false (measured ~150 ms/step at N=1024 vs 0.84 ms for
     the same physics without the gather; docs/PERFORMANCE.md round-5
     rebasing note), so the exact in-graph dispatch that is free on CPU is
-    ~180x on TPU. The chunk-level switch trades that for ONE semantic
-    concession: steps between an in-chunk rebase event and the end of
-    that chunk still rebuild from the analytic seed of the PRE-rebase
-    shape. Keep rebasing chunks modest (100-500 steps) so the lag is
-    bounded; use ``map_rebase_rebuild='cond'`` (default make_step) when
-    step-exact switching matters more than TPU throughput.
+    ~180x on TPU. The chunk-level protocol trades that for ONE semantic
+    concession: in the pre phase a trigger is detected at the END of the
+    chunk it occurs in (latency <= n_steps steps), and the first trigger
+    switches EVERY solid's rebuild to sampled. Keep rebasing chunks modest
+    (100-500 steps) so the lag is bounded; use
+    ``map_rebase_rebuild='cond'`` (default make_step) when step-exact
+    triggering matters more than TPU throughput (CPU, small N).
 
     Returns ``run(state, t_end) -> (state, t)`` — same contract as
     :func:`make_run_chunk`.
     """
-    if not (cfg.map_rebase_minj > 0.0 and len(phi_inits) > 0):
+    S = len(phi_inits)
+    if not (cfg.map_rebase_minj > 0.0 and S > 0):
         raise ValueError("make_rebase_runner requires map_rebase_minj > 0 "
                          "and at least one solid")
     pre_step = make_step(
@@ -1355,20 +1370,94 @@ def make_rebase_runner(cfg, velocity_bc, phi_inits, n_steps: int,
     post_chunk = make_run_chunk(post_step, n_steps, donate=donate)
 
     g = cfg.grid
+    dx, dy = g.dx, g.dy
     X, Y = g.coords(dtype=dtype)
-    seeds = jnp.stack([jnp.asarray(pi(X, Y), dtype) for pi in phi_inits])
+
+    # trigger detection + the rebase itself, replayed OUTSIDE the scan:
+    # same stress mode, phi chain (area fix) and extrapolation lowering as
+    # make_step
+    from pyrmt_tpu.ops.levelset import reinitialize_phi_fsm
+    from pyrmt_tpu.ops.stress import solid_cauchy_stress
+
+    if cfg.phi_area_fix:
+        from pyrmt_tpu.ops.levelset import (
+            area_conserving_shift,
+            smoothed_solid_area,
+        )
+
+        _targets = tuple(
+            float(smoothed_solid_area(
+                jnp.asarray(pi(X, Y), dtype), dx, dy, cfg.w_t))
+            for pi in phi_inits)
+
+        def _fix(phi, i):
+            return area_conserving_shift(phi, dx, dy, cfg.w_t, _targets[i])
+    else:
+        def _fix(phi, i):
+            return phi
+
+    if S >= 2:
+        s_w_cut, s_clamp = 0.0, cfg.two_solid_clamp
+    else:
+        s_w_cut = cfg.w_t if cfg.stress_band else 0.0
+        s_clamp = cfg.detg_clamp if cfg.stress_band else 0.0
+    if jax.default_backend() == "tpu":
+        from pyrmt_tpu.kernels.extrapolate_fused import (
+            extrapolate_reference_map_fused as _extrap,
+        )
+    else:
+        from pyrmt_tpu.ops.extrapolate import (
+            extrapolate_reference_map_sparse as _extrap,
+        )
 
     @jax.jit
-    def _any_rebased(phis0):
-        return jnp.any(phis0 != seeds)
+    def _min_J(state):
+        big = jnp.asarray(jnp.inf, dtype)
+        mins = []
+        for i in range(S):
+            phi = _fix(jnp.asarray(
+                phi_inits[i](state.X1[i], state.X2[i]), dtype), i)
+            _, _, _, J = solid_cauchy_stress(
+                state.X1[i], state.X2[i], dx, dy, cfg.mu_s, cfg.kappa, phi,
+                w_cut=s_w_cut, detg_clamp=s_clamp)
+            mins.append(jnp.min(jnp.where(phi <= 0.0, J, big)))
+        return jnp.stack(mins)
 
-    state_fired = {"fired": False}
+    def _rebase(state, fire):
+        # host-initiated per-solid rebase (the runner's analogue of the
+        # in-graph maybe_rebase, run ONCE at a chunk boundary)
+        X1n, X2n, p0n = [], [], []
+        for i in range(S):
+            if fire[i]:
+                phi = _fix(jnp.asarray(
+                    phi_inits[i](state.X1[i], state.X2[i]), dtype), i)
+                phi0 = reinitialize_phi_fsm(phi, dx, dy)
+                mask = (phi0 <= 0.0).astype(dtype)
+                x1, x2 = _extrap(X * mask, Y * mask, phi0, dx, dy,
+                                 cfg.num_layers)
+                X1n.append(x1)
+                X2n.append(x2)
+                p0n.append(phi0)
+            else:
+                X1n.append(state.X1[i])
+                X2n.append(state.X2[i])
+                p0n.append(state.phis0[i])
+        return dataclasses.replace(
+            state, X1=jnp.stack(X1n), X2=jnp.stack(X2n),
+            phis0=jnp.stack(p0n))
+
+    phase = {"post": False}
 
     def run(state: SimState, t_end):
-        if not state_fired["fired"] and bool(_any_rebased(state.phis0)):
-            state_fired["fired"] = True
-        chunk = post_chunk if state_fired["fired"] else pre_chunk
-        return chunk(state, t_end)
+        if not phase["post"]:
+            state, t = pre_chunk(state, t_end)
+            minJ = _min_J(state)
+            fire = [bool(m < cfg.map_rebase_minj) for m in minJ]
+            if any(fire):
+                state = _rebase(state, fire)
+                phase["post"] = True
+            return state, t
+        return post_chunk(state, t_end)
 
     return run
 
